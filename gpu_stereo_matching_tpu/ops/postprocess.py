@@ -1,0 +1,65 @@
+"""Post-processing: left-right consistency and median filtering.
+
+* LR consistency matches ``STMatching/StereoDisparity.cpp:136-147``: a left
+  pixel is *occluded/unstable* iff ``d == 0``, or ``x - d < 0``, or
+  ``|d_L(x) - d_R(x - d)| > max_diff``.
+* The median filter replaces the reference's CTMF (``STMatching/ctmf.c``)
+  and its mislabeled ``MeanFilter`` wrapper (``Toolkit.cpp:33-48``). TPU
+  formulation: gather the (2r+1)² shifted window copies, sort along the
+  window axis (XLA bitonic sort on the VPU), and pick the per-pixel rank —
+  windows are clipped at borders, so out-of-bounds slots carry a +∞
+  sentinel and the rank is ``n//2 + 1`` with n the per-pixel valid count
+  (the smallest value whose cumulative count exceeds n/2, the same median
+  CTMF selects, ``ctmf.c:256-266``).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from gpu_stereo_matching_tpu.ops.aggregate import window_counts
+
+_SENTINEL = 0x7FFF  # larger than any uint8 sample
+
+
+def lr_consistency_mask(
+    disp_left: jnp.ndarray,
+    disp_right: jnp.ndarray,
+    max_diff: int = 1,
+) -> jnp.ndarray:
+    """Stability mask for the left view (True = consistent, non-occluded).
+
+    ``disp_left``/``disp_right`` are (H, W) integer disparity maps; the right
+    map is sampled at ``x - d_L(x)``.
+    """
+    w = disp_left.shape[-1]
+    x = jnp.arange(w)
+    dl = disp_left.astype(jnp.int32)
+    src = x[None, :] - dl
+    in_range = src >= 0
+    dr = jnp.take_along_axis(disp_right.astype(jnp.int32), jnp.clip(src, 0, w - 1), axis=-1)
+    consistent = jnp.abs(dl - dr) <= max_diff
+    return (dl > 0) & in_range & consistent
+
+
+def median_filter_u8(x: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """Median of clipped (2r+1)² windows of a (..., H, W) uint8 image → uint8."""
+    if radius <= 0:
+        return x
+    h, w = x.shape[-2], x.shape[-1]
+    k = 2 * radius + 1
+    xi = x.astype(jnp.int16)
+    # Stack all k² shifted copies along a new leading window axis, padding
+    # out-of-bounds with a sentinel so clipped windows sort it last.
+    pad = [(0, 0)] * (x.ndim - 2) + [(radius, radius), (radius, radius)]
+    xp = jnp.pad(xi, pad, constant_values=_SENTINEL)
+    windows = [
+        xp[..., dy : dy + h, dx : dx + w] for dy in range(k) for dx in range(k)
+    ]
+    stack = jnp.stack(windows, axis=0)  # (k², ..., H, W)
+    stack = jnp.sort(stack, axis=0)
+    n = window_counts((h, w), radius)  # (H, W)
+    rank = (n // 2).astype(jnp.int32)  # index of the (n//2 + 1)-th smallest
+    rank = jnp.broadcast_to(rank, stack.shape[1:])[None]
+    med = jnp.take_along_axis(stack, rank, axis=0)[0]
+    return med.astype(jnp.uint8)

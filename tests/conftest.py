@@ -1,0 +1,36 @@
+"""Test configuration: force an 8-device CPU platform before JAX loads.
+
+Multi-chip sharding paths are exercised on a virtual CPU mesh (the
+reference had no analog — its tests were single-GPU visual A/B, SURVEY §4);
+all kernels/tests must be platform-agnostic.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+# Force CPU: the ambient environment may point JAX_PLATFORMS at a tunneled
+# TPU platform ("axon"); tests must run hermetically on the host CPU.
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(1234)
+
+
+REFERENCE_ROOT = "/root/reference"
+
+
+@pytest.fixture
+def reference_images_root():
+    root = os.path.join(REFERENCE_ROOT, "Images")
+    if not os.path.isdir(root):
+        pytest.skip("reference image assets not available")
+    return root
