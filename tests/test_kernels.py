@@ -1,0 +1,40 @@
+"""Pallas kernels in interpreter mode vs. the XLA ops path and oracles."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from gpu_stereo_matching_tpu.kernels.sad_wta import fused_block_matching
+from tests import oracles
+
+
+def _oracle_disparity(left, right, num_disp, radius):
+    vol = oracles.ad_cost_volume_oracle(left, right, num_disp)
+    sad = oracles.box_sum_oracle(vol, radius)
+    return oracles.wta_oracle(sad)
+
+
+def test_fused_block_matching_interpret(rng):
+    left = rng.integers(0, 256, size=(21, 33), dtype=np.uint8)
+    right = rng.integers(0, 256, size=(21, 33), dtype=np.uint8)
+    got = np.asarray(
+        fused_block_matching(
+            jnp.asarray(left), jnp.asarray(right),
+            num_disparities=8, radius=2, tile_h=8, interpret=True,
+        )
+    )
+    want = _oracle_disparity(left, right, 8, 2)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_fused_block_matching_tile_not_dividing(rng):
+    left = rng.integers(0, 256, size=(13, 17), dtype=np.uint8)
+    right = rng.integers(0, 256, size=(13, 17), dtype=np.uint8)
+    got = np.asarray(
+        fused_block_matching(
+            jnp.asarray(left), jnp.asarray(right),
+            num_disparities=4, radius=1, tile_h=8, interpret=True,
+        )
+    )
+    want = _oracle_disparity(left, right, 4, 1)
+    np.testing.assert_array_equal(got, want)
