@@ -6,21 +6,23 @@ This replaces the reference's two-kernel hot path — ``kernalPreCal_V2``
 ``Device.cu:34-64``) — with a single TPU kernel that never materializes the
 cost volume in HBM:
 
-* the image is processed in row tiles; each grid step DMAs a
-  ``TILE_H + 2r`` row slab of both (pre-padded) images HBM→VMEM,
-* for each disparity (statically unrolled), the shifted abs-diff slab is
-  reduced with separable shifted-add box sums (2·(2r+1) vector adds — the
-  O(1)-per-pixel formulation instead of the reference's O(w²) loop),
-* a running (min, argmin) pair is kept in vector registers; ties resolve to
-  the smallest d, matching the reference's strict ``<`` update,
-* out-of-range columns (x < d) cost 255 per pixel, matching the reference's
-  out-of-range convention (``BlockMatching.cpp:208-212``).
+* the image is processed in row tiles; each grid step DMAs a row slab of
+  both (pre-padded) images HBM→VMEM,
+* a ``fori_loop`` over disparities rotates the right slab along lanes
+  (``tpu.dynamic_rotate``) and reduces the abs-diff slab with separable
+  shifted-add box sums — 2·(2r+1) vector adds per disparity, the
+  O(1)-per-pixel formulation instead of the reference's O(w²) loop,
+* a running (min, argmin) pair is kept in registers; ties resolve to the
+  smallest d, matching the reference's strict ``<`` update,
+* columns ``x < d`` cost 255 per pixel, matching the reference's
+  out-of-range convention (``BlockMatching.cpp:208-212``); columns past the
+  true width (lane padding) are forced to 0 so clipped-window sums are
+  reproduced exactly.
 
+All arithmetic is int32 (exact; Mosaic also lacks a direct u8→f32 cast).
 Zero row padding on the host reproduces the clipped-window "boundary skip"
-semantics exactly (padded diffs are 0); horizontal clipping is done with
-zero-extended shifted adds inside the kernel. Results are bit-identical to
-``ops.ad_cost_volume`` → ``ops.aggregate_cost_volume`` → ``ops.wta_disparity``
-(all sums are integers < 2²⁴, exact in f32).
+semantics (padded diffs are 0). Results are bit-identical to
+``ops.ad_cost_volume`` → ``ops.aggregate_cost_volume`` → ``ops.wta_disparity``.
 """
 
 from __future__ import annotations
@@ -34,60 +36,69 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(
-    left_hbm,      # (Hp + 2r, W) u8 in ANY/HBM; Hp = padded H (multiple of tile)
-    right_hbm,     # (Hp + 2r, W + D) u8, D zero columns on the left
-    disp_out,      # (TILE_H, W) i32 VMEM block
-    lbuf,          # (TILE_H + 2r, W) u8 VMEM scratch
-    rbuf,          # (TILE_H + 2r, W + D) u8 VMEM scratch
+    left_hbm,      # (rows, Wp) u8; r zero rows on top, zero lane padding
+    right_hbm,     # (rows, Wp) u8, same layout
+    disp_out,      # (TILE_H, Wp) i32 VMEM block
+    lbuf,          # (slab, Wp) u8 VMEM scratch
+    rbuf,          # (slab, Wp) u8 VMEM scratch
     sems,          # 2 DMA semaphores
     *,
     num_disparities: int,
     radius: int,
     tile_h: int,
-    invalid_cost: float,
+    true_width: int,
+    invalid_cost: int,
 ):
     i = pl.program_id(0)
     r = radius
     halo_rows = tile_h + 2 * r
-    w = disp_out.shape[1]
+    slab_rows = lbuf.shape[0]
+    wp = disp_out.shape[1]
 
     row0 = i * tile_h
     cp_l = pltpu.make_async_copy(
-        left_hbm.at[pl.ds(row0, halo_rows), :], lbuf, sems.at[0]
+        left_hbm.at[pl.ds(row0, slab_rows), :], lbuf, sems.at[0]
     )
     cp_r = pltpu.make_async_copy(
-        right_hbm.at[pl.ds(row0, halo_rows), :], rbuf, sems.at[1]
+        right_hbm.at[pl.ds(row0, slab_rows), :], rbuf, sems.at[1]
     )
     cp_l.start()
     cp_r.start()
     cp_l.wait()
     cp_r.wait()
 
-    lf = lbuf[:].astype(jnp.float32)           # (halo, W)
-    rf = rbuf[:].astype(jnp.float32)           # (halo, W + D)
-    col = jax.lax.broadcasted_iota(jnp.int32, (halo_rows, w), dimension=1)
+    lf = lbuf[0:halo_rows, :].astype(jnp.int32)
+    rf = rbuf[0:halo_rows, :].astype(jnp.int32)
+    col = jax.lax.broadcasted_iota(jnp.int32, (halo_rows, wp), dimension=1)
+    in_width = col < true_width
 
-    best = jnp.full((tile_h, w), jnp.inf, jnp.float32)
-    best_d = jnp.zeros((tile_h, w), jnp.int32)
-
-    for d in range(num_disparities):
-        shifted = rf[:, num_disparities - d : num_disparities - d + w]
+    def body(d, carry):
+        best, best_d = carry
+        # shifted[x] = R[x - d]: lane-rotate right by d. Wrapped lanes land
+        # only in the x < d region, which is masked to the invalid cost.
+        shifted = pltpu.roll(rf, d, 1)
         diff = jnp.abs(lf - shifted)
-        if d > 0:
-            diff = jnp.where(col < d, invalid_cost, diff)
-        # Vertical box: sum of 2r+1 row-shifted slabs → (tile_h, W).
+        diff = jnp.where(col < d, invalid_cost, diff)
+        diff = jnp.where(in_width, diff, 0)
+        # Vertical box: sum of 2r+1 row-shifted slabs → (tile_h, Wp).
         vsum = diff[0:tile_h, :]
         for j in range(1, 2 * r + 1):
             vsum = vsum + diff[j : j + tile_h, :]
-        # Horizontal box with zero-extension (clipped-window semantics).
+        # Horizontal box with zero extension (clipped-window semantics).
         hp = jnp.pad(vsum, ((0, 0), (r, r)))
-        sad = hp[:, 0:w]
+        sad = hp[:, 0:wp]
         for j in range(1, 2 * r + 1):
-            sad = sad + hp[:, j : j + w]
+            sad = sad + hp[:, j : j + wp]
         upd = sad < best
         best = jnp.where(upd, sad, best)
         best_d = jnp.where(upd, d, best_d)
+        return best, best_d
 
+    init = (
+        jnp.full((tile_h, wp), jnp.iinfo(jnp.int32).max, jnp.int32),
+        jnp.zeros((tile_h, wp), jnp.int32),
+    )
+    _, best_d = jax.lax.fori_loop(0, num_disparities, body, init)
     disp_out[:, :] = best_d
 
 
@@ -112,18 +123,25 @@ def fused_block_matching(
     r = radius
     num_tiles = -(-h // tile_h)
     hp = num_tiles * tile_h
+    slab_rows = -(-(tile_h + 2 * r) // 8) * 8
+    # Rows: r zeros on top, then enough bottom padding that the last tile's
+    # sublane-aligned DMA slab stays in bounds.
+    total_rows = max((num_tiles - 1) * tile_h + slab_rows, hp + 2 * r)
+    # Lanes: pad W to a 128 multiple (Mosaic DMA slice alignment).
+    wp = -(-w // 128) * 128
 
-    left_p = jnp.zeros((hp + 2 * r, w), jnp.uint8)
+    left_p = jnp.zeros((total_rows, wp), jnp.uint8)
     left_p = jax.lax.dynamic_update_slice(left_p, left_gray, (r, 0))
-    right_p = jnp.zeros((hp + 2 * r, w + num_disparities), jnp.uint8)
-    right_p = jax.lax.dynamic_update_slice(right_p, right_gray, (r, num_disparities))
+    right_p = jnp.zeros((total_rows, wp), jnp.uint8)
+    right_p = jax.lax.dynamic_update_slice(right_p, right_gray, (r, 0))
 
     kernel = functools.partial(
         _kernel,
         num_disparities=num_disparities,
         radius=r,
         tile_h=tile_h,
-        invalid_cost=255.0,
+        true_width=w,
+        invalid_cost=255,
     )
     disp = pl.pallas_call(
         kernel,
@@ -133,14 +151,14 @@ def fused_block_matching(
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (tile_h, w), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (tile_h, wp), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((hp, w), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((tile_h + 2 * r, w), jnp.uint8),
-            pltpu.VMEM((tile_h + 2 * r, w + num_disparities), jnp.uint8),
+            pltpu.VMEM((slab_rows, wp), jnp.uint8),
+            pltpu.VMEM((slab_rows, wp), jnp.uint8),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(left_p, right_p)
-    return disp[:h]
+    return disp[:h, :w]

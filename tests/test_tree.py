@@ -1,0 +1,101 @@
+"""Segment-tree builder (C++ vs NumPy twin) and TPU tree filter vs oracle."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from gpu_stereo_matching_tpu.tree.builder import (
+    build_segment_tree,
+    build_segment_tree_py,
+    color_edge_weights,
+    grid_edges,
+)
+from gpu_stereo_matching_tpu.tree.filter import TreeFilterPlan, tree_filter
+from tests import oracles
+
+
+def _random_weights(rng, h, w):
+    ea, eb = grid_edges(h, w)
+    return (rng.random(len(ea)) * 60).astype(np.float32)
+
+
+def _check_tree_invariants(t, h, w):
+    n = h * w
+    assert sorted(t.bfs_order.tolist()) == list(range(n))
+    assert sorted(t.dfs_order.tolist()) == list(range(n))
+    assert t.parent[0] == 0 and t.level_of[0] == 0
+    # children appear after parents in BFS order; levels consistent
+    pos = np.empty(n, np.int64)
+    pos[t.bfs_order] = np.arange(n)
+    for v in range(1, n):
+        assert pos[t.parent[v]] < pos[v]
+        assert t.level_of[v] == t.level_of[t.parent[v]] + 1
+    # level_start consistent with level_of
+    counts = np.bincount(t.level_of, minlength=t.num_levels)
+    np.testing.assert_array_equal(np.diff(t.level_start), counts)
+    # subtree sizes: root covers all
+    assert t.subtree_size[0] == n
+    # edges connect grid neighbors
+    for v in range(1, n):
+        p = int(t.parent[v])
+        dy = abs(v // w - p // w)
+        dx = abs(v % w - p % w)
+        assert dy + dx == 1
+
+
+def test_grid_edges_count():
+    ea, eb = grid_edges(5, 7)
+    assert len(ea) == 2 * 5 * 7 - 5 - 7
+
+
+@pytest.mark.parametrize("hw", [(6, 9), (11, 8)])
+def test_cpp_vs_numpy_builder(rng, hw):
+    h, w = hw
+    weights = _random_weights(rng, h, w)
+    tc = build_segment_tree(weights, h, w, tau=80.0, min_size=4, penalty=5.0)
+    tp = build_segment_tree_py(weights, h, w, tau=80.0, min_size=4, penalty=5.0)
+    _check_tree_invariants(tc, h, w)
+    _check_tree_invariants(tp, h, w)
+    # Traversal-order-independent structure must agree exactly.
+    np.testing.assert_array_equal(tc.parent, tp.parent)
+    np.testing.assert_array_equal(tc.parent_dist, tp.parent_dist)
+    np.testing.assert_array_equal(tc.level_of, tp.level_of)
+    np.testing.assert_array_equal(tc.subtree_size, tp.subtree_size)
+
+
+def test_color_weights(rng):
+    img = rng.integers(0, 256, size=(7, 9, 3), dtype=np.uint8)
+    wts = color_edge_weights(img, presmooth=False)
+    ea, eb = grid_edges(7, 9)
+    flat = img.reshape(-1, 3).astype(np.int32)
+    want = np.abs(flat[ea] - flat[eb]).max(axis=1).astype(np.float32)
+    np.testing.assert_array_equal(wts, want)
+
+
+def test_tree_filter_matches_sequential_oracle(rng):
+    h, w, d = 9, 12, 5
+    weights = _random_weights(rng, h, w)
+    tree = build_segment_tree(weights, h, w, tau=100.0, min_size=6, penalty=5.0)
+    cost = rng.random((d, h, w)).astype(np.float32)
+
+    got = np.asarray(tree_filter(jnp.asarray(cost), tree, sigma=0.1))
+
+    nodes = np.moveaxis(cost, 0, -1).reshape(h * w, d)
+    want_nodes = oracles.tree_filter_oracle(
+        nodes, tree.bfs_order, tree.parent, tree.parent_weights(0.1)
+    )
+    want = np.moveaxis(want_nodes.reshape(h, w, d), -1, 0)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_tree_filter_uniform_weights_is_global_mean(rng):
+    # With all distances 0 (single flat segment), every weight is 1 and the
+    # filtered cost at every node equals the total sum over all nodes.
+    h, w, d = 5, 6, 3
+    weights = np.zeros(2 * h * w - h - w, np.float32)
+    tree = build_segment_tree(weights, h, w, tau=1e9, min_size=1000, penalty=0.0)
+    cost = rng.random((d, h, w)).astype(np.float32)
+    got = np.asarray(tree_filter(jnp.asarray(cost), tree, sigma=0.1))
+    want = cost.sum(axis=(1, 2), keepdims=True) * np.ones_like(cost)
+    np.testing.assert_allclose(got, want, rtol=1e-4)
