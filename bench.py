@@ -1,0 +1,58 @@
+"""Headline benchmark: fused block matching, 1080p / 64 disparities.
+
+Prints one JSON line: frames/sec/chip vs. the 60 fps north-star target
+(BASELINE.md). Throughput is measured on-device by scanning a batch of
+frames inside a single dispatch (amortizing host↔device/tunnel latency),
+mirroring streaming video inference.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from gpu_stereo_matching_tpu.kernels.sad_wta import fused_block_matching
+
+    rng = np.random.default_rng(0)
+    b, h, w, d, r = 16, 1080, 1920, 64, 5
+    left = jnp.asarray(rng.integers(0, 256, (b, h, w), dtype=np.uint8))
+    right = jnp.asarray(rng.integers(0, 256, (b, h, w), dtype=np.uint8))
+
+    @jax.jit
+    def batch_run(left, right):
+        def step(acc, lr):
+            l, rr = lr
+            out = fused_block_matching(l, rr, d, r)
+            return acc + jnp.sum(out), None
+
+        acc, _ = jax.lax.scan(step, jnp.zeros((), jnp.int32), (left, right))
+        return acc
+
+    int(batch_run(left, right))  # compile + warm
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        int(batch_run(left, right))
+        best = min(best, time.perf_counter() - t0)
+    fps = b / best
+
+    baseline_fps = 60.0  # north-star target (the reference publishes none)
+    print(
+        json.dumps(
+            {
+                "metric": "block_matching_1080p_64disp_fps_per_chip",
+                "value": round(fps, 1),
+                "unit": "frames/sec/chip",
+                "vs_baseline": round(fps / baseline_fps, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

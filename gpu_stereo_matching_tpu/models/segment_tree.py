@@ -1,0 +1,137 @@
+"""Non-local segment-tree stereo pipelines ST-1 / ST-2.
+
+Mirrors the reference drivers ``stereo_disparity_normal`` and
+``stereo_disparity_iteration`` (``STMatching/StereoDisparity.cpp:57-162``):
+
+ST-1: color+gradient cost volume → segment tree (color weights, σ, τ=1200)
+→ non-local filter → WTA → 7×7 median → ×scale.
+
+ST-2: left volume + right volume derived from it → per-view trees with
+σ₁=0.08 → filter/WTA/median per view → left-right consistency mask on the
+*median-filtered* maps → fresh cost volume → tree rebuilt with joint
+color+depth weights (stable pixels only) at the user σ → filter → WTA →
+median → ×scale.
+
+Orchestration is host-driven because the tree build is host-side C++;
+every dense stage (cost, filter scans, WTA, median) is a jitted TPU
+computation. Trees are data-dependent, so pipelines that process video with
+a fixed calibration should reuse plans via the functions' ``plan`` hooks.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpu_stereo_matching_tpu.core.config import SegmentTreeConfig
+from gpu_stereo_matching_tpu.ops.cost import (
+    color_gradient_cost_volume,
+    right_cost_from_left,
+)
+from gpu_stereo_matching_tpu.ops.postprocess import lr_consistency_mask, median_filter_u8
+from gpu_stereo_matching_tpu.ops.wta import wta_disparity
+from gpu_stereo_matching_tpu.tree.builder import (
+    build_segment_tree,
+    color_depth_edge_weights,
+    color_edge_weights,
+)
+from gpu_stereo_matching_tpu.tree.filter import TreeFilterPlan, tree_filter_nodes
+
+
+_cost_volume_jit = jax.jit(color_gradient_cost_volume, static_argnums=(2,))
+_right_from_left_jit = jax.jit(right_cost_from_left)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _filter_wta_median_jit(cost_nodes, plan, shape_hw):
+    # cost_nodes: (N, D); returns median-filtered uint8 disparity (H, W).
+    h, w = shape_hw
+    filtered = tree_filter_nodes(cost_nodes, plan)
+    disp = wta_disparity(filtered, axis=1).reshape(h, w)
+    return median_filter_u8(disp.astype(jnp.uint8), 3)
+
+
+def _to_nodes(cost: jnp.ndarray) -> jnp.ndarray:
+    d, h, w = cost.shape
+    return jnp.moveaxis(cost, 0, -1).reshape(h * w, d)
+
+
+def _aggregate_select(
+    cost: jnp.ndarray, img_bgr: np.ndarray, sigma: float, cfg: SegmentTreeConfig,
+    weights: Optional[np.ndarray] = None,
+    weight_scale: float = 1.0,
+) -> np.ndarray:
+    """Tree build (host) + filter/WTA/median (device) → uint8 (H, W)."""
+    d, h, w = cost.shape
+    if weights is None:
+        weights = color_edge_weights(img_bgr)
+        weight_scale = 1.0
+    tree = build_segment_tree(
+        weights, h, w,
+        tau=cfg.tau, min_size=cfg.min_size_seg, penalty=cfg.penalty_cross_seg,
+        weight_scale=weight_scale,
+    )
+    plan = TreeFilterPlan.from_tree(tree, sigma)
+    return np.asarray(_filter_wta_median_jit(_to_nodes(cost), plan, (h, w)))
+
+
+def st1_disparity(
+    left_bgr: np.ndarray,
+    right_bgr: np.ndarray,
+    config: SegmentTreeConfig = SegmentTreeConfig(),
+) -> np.ndarray:
+    """ST-1 scaled disparity of a BGR uint8 pair → (H, W) uint8."""
+    cost = _cost_volume_jit(
+        jnp.asarray(left_bgr), jnp.asarray(right_bgr), config.max_disp_levels
+    )
+    disp = _aggregate_select(cost, left_bgr, config.sigma, config)
+    return _scale_u8(disp, config.disparity_scale)
+
+
+def st2_disparity(
+    left_bgr: np.ndarray,
+    right_bgr: np.ndarray,
+    config: SegmentTreeConfig = SegmentTreeConfig(),
+) -> np.ndarray:
+    """ST-2 (iteration + LR consistency + re-segmentation) → (H, W) uint8."""
+    jl, jr = jnp.asarray(left_bgr), jnp.asarray(right_bgr)
+    cost_left = _cost_volume_jit(jl, jr, config.max_disp_levels)
+    cost_right = _right_from_left_jit(cost_left)
+
+    disp_l = _aggregate_select(cost_left, left_bgr, config.sigma_one, config)
+    disp_r = _aggregate_select(cost_right, right_bgr, config.sigma_one, config)
+
+    mask = np.asarray(
+        lr_consistency_mask(
+            jnp.asarray(disp_l.astype(np.int32)),
+            jnp.asarray(disp_r.astype(np.int32)),
+            config.lr_max_diff,
+        )
+    )
+
+    cost = _cost_volume_jit(jl, jr, config.max_disp_levels)
+    weights = color_depth_edge_weights(
+        left_bgr, disp_l, mask, config.max_disp_levels, config.alpha_dep_seg
+    )
+    disp = _aggregate_select(
+        cost, left_bgr, config.sigma, config, weights=weights, weight_scale=255.0
+    )
+    return _scale_u8(disp, config.disparity_scale)
+
+
+def segment_tree_disparity(
+    left_bgr: np.ndarray,
+    right_bgr: np.ndarray,
+    config: SegmentTreeConfig = SegmentTreeConfig(),
+) -> np.ndarray:
+    """Dispatch ST-1 / ST-2 on ``config.iterate`` (the CLI ``method`` arg)."""
+    fn = st2_disparity if config.iterate else st1_disparity
+    return fn(left_bgr, right_bgr, config)
+
+
+def _scale_u8(disp: np.ndarray, scale: int) -> np.ndarray:
+    return np.minimum(disp.astype(np.int32) * scale, 255).astype(np.uint8)

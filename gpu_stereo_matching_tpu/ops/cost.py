@@ -58,6 +58,30 @@ def ad_cost_volume(
     return jnp.where(valid, diff, invalid_cost).astype(jnp.uint8)
 
 
+def ad_cost_volume_offset(
+    left_gray: jnp.ndarray,
+    right_gray: jnp.ndarray,
+    count: int,
+    d_offset: jnp.ndarray,
+    invalid_cost: int = 255,
+) -> jnp.ndarray:
+    """AD cost for disparities ``d_offset .. d_offset+count-1`` → (count, H, W).
+
+    ``d_offset`` may be traced (it is the shard's disparity-range start in
+    the disp-sharded distributed pipeline). uint8 output as in
+    :func:`ad_cost_volume`.
+    """
+    w = left_gray.shape[-1]
+    x = jnp.arange(w)
+    d = d_offset + jnp.arange(count)
+    src = jnp.clip(x[None, :] - d[:, None], 0, w - 1)  # (count, W)
+    gathered = jnp.take(right_gray.astype(jnp.int16), src, axis=-1)
+    ri = jnp.moveaxis(gathered, -2, 0)  # (count, H, W)
+    diff = jnp.abs(left_gray.astype(jnp.int16)[None, :, :] - ri)
+    valid = (x[None, :] >= d[:, None])[:, None, :]
+    return jnp.where(valid, diff, invalid_cost).astype(jnp.uint8)
+
+
 def color_gradient_cost_volume(
     left_bgr: jnp.ndarray,
     right_bgr: jnp.ndarray,

@@ -1,0 +1,78 @@
+"""Distributed block matching over a (data, space, disp) mesh.
+
+Strategy (SURVEY §2.5):
+
+* ``data``  — frames of the batch are independent (pure DP),
+* ``space`` — the image H axis is tiled; SAD windows need ``radius`` rows
+  from each neighbor, supplied by ring halo exchange (``ppermute`` over
+  ICI) with zeros at the global borders → bit-identical to the
+  single-device clipped-window pipeline,
+* ``disp``  — each shard evaluates a contiguous disparity range; the WTA
+  argmin becomes a packed-key ``pmin`` over the axis
+  (key = SAD·D + d, so ties still resolve to the smallest global d).
+
+The whole step is one ``shard_map``-wrapped jitted function; XLA inserts
+the collectives.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from gpu_stereo_matching_tpu.core.config import BlockMatchingConfig
+from gpu_stereo_matching_tpu.ops.aggregate import aggregate_cost_volume
+from gpu_stereo_matching_tpu.ops.cost import ad_cost_volume_offset
+from gpu_stereo_matching_tpu.parallel.halo import extend_with_row_halos
+
+
+def make_sharded_block_matching(mesh: Mesh, config: BlockMatchingConfig):
+    """Build a jitted (B, H, W)×2 → (B, H, W) sharded disparity step.
+
+    Inputs are uint8 gray batches sharded ``P('data', 'space', None)``;
+    output disparities have the same sharding (replicated over ``disp``).
+    """
+    num_d = config.num_disparities
+    n_disp_shards = mesh.shape["disp"]
+    if num_d % n_disp_shards:
+        raise ValueError("num_disparities must divide evenly over the disp axis")
+    d_per_shard = num_d // n_disp_shards
+    radius = config.sad_radius
+
+    def local_step(left, right):  # (Bl, Hl, W) uint8 shards
+        lex = extend_with_row_halos(left, radius, "space")
+        rex = extend_with_row_halos(right, radius, "space")
+        d0 = lax.axis_index("disp") * d_per_shard
+
+        def per_frame(lf, rf):
+            vol = ad_cost_volume_offset(
+                lf, rf, d_per_shard, d0, int(config.invalid_cost)
+            )
+            sad = aggregate_cost_volume(vol, radius)  # (dl, Hl+2r, W) int32
+            if radius > 0:
+                sad = sad[:, radius:-radius, :]
+            d_ids = d0 + jnp.arange(d_per_shard, dtype=jnp.int32)
+            key = sad * num_d + d_ids[:, None, None]
+            return jnp.min(key, axis=0)
+
+        key = jax.vmap(per_frame)(lex, rex)
+        key = lax.pmin(key, "disp")
+        return (key % num_d).astype(jnp.int32)
+
+    sharded = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P("data", "space", None), P("data", "space", None)),
+        out_specs=P("data", "space", None),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def shard_batch(mesh: Mesh, left: jnp.ndarray, right: jnp.ndarray):
+    """Place a (B, H, W) stereo batch with the step's input sharding."""
+    sharding = NamedSharding(mesh, P("data", "space", None))
+    return jax.device_put(left, sharding), jax.device_put(right, sharding)

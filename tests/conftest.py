@@ -12,12 +12,15 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-# Force CPU: the ambient environment may point JAX_PLATFORMS at a tunneled
-# TPU platform ("axon"); tests must run hermetically on the host CPU.
+# Force CPU: the ambient environment points JAX_PLATFORMS at a tunneled TPU
+# platform ("axon"), and the container's sitecustomize imports jax before
+# this file runs — so the env var alone is too late. Set both the env var
+# and the config (the config update works until a backend is initialized).
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 

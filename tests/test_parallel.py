@@ -1,0 +1,52 @@
+"""Distributed pipeline on the virtual 8-device CPU mesh.
+
+Gates: every mesh factorization of (data, space, disp) produces disparities
+bit-identical to the single-device pipeline (halo exchange and the packed
+min-argmin reduction must not change semantics).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gpu_stereo_matching_tpu.core.config import BlockMatchingConfig, MeshConfig
+from gpu_stereo_matching_tpu.models.block_matching import block_matching_pipeline
+from gpu_stereo_matching_tpu.parallel.mesh import build_mesh
+from gpu_stereo_matching_tpu.parallel.stereo import (
+    make_sharded_block_matching,
+    shard_batch,
+)
+
+
+@pytest.fixture(autouse=True)
+def _need_devices():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+
+
+@pytest.mark.parametrize(
+    "mesh_shape",
+    [(1, 1, 1), (2, 1, 1), (1, 4, 1), (1, 1, 4), (2, 2, 2), (1, 4, 2)],
+)
+def test_sharded_matches_single_device(rng, mesh_shape):
+    data, space, disp = mesh_shape
+    cfg = BlockMatchingConfig(num_disparities=8, sad_radius=2)
+    b, h, w = 4, 24, 20
+    left = rng.integers(0, 256, size=(b, h, w), dtype=np.uint8)
+    right = rng.integers(0, 256, size=(b, h, w), dtype=np.uint8)
+
+    mesh = build_mesh(MeshConfig(data=data, space=space, disp=disp))
+    step = make_sharded_block_matching(mesh, cfg)
+    jl, jr = shard_batch(mesh, jnp.asarray(left), jnp.asarray(right))
+    got = np.asarray(step(jl, jr))
+
+    want = np.asarray(block_matching_pipeline(jnp.asarray(left), jnp.asarray(right), cfg))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_uneven_disparity_split_rejected():
+    mesh = build_mesh(MeshConfig(data=1, space=1, disp=4))
+    with pytest.raises(ValueError):
+        make_sharded_block_matching(mesh, BlockMatchingConfig(num_disparities=6))

@@ -1,0 +1,78 @@
+"""End-to-end ST-1 / ST-2 pipelines vs. composed NumPy oracles.
+
+The parallel tree scans reorder float additions vs. the sequential oracle,
+so near-tied WTA decisions can flip on a few pixels; stage-level tests
+cover exactness (tolerance-checked filtered costs), and these end-to-end
+tests gate on near-total agreement instead of bit equality.
+"""
+
+import numpy as np
+
+from gpu_stereo_matching_tpu.core.config import SegmentTreeConfig
+from gpu_stereo_matching_tpu.models.segment_tree import st1_disparity, st2_disparity
+from gpu_stereo_matching_tpu.tree.builder import (
+    build_segment_tree_py,
+    color_edge_weights,
+    color_depth_edge_weights,
+)
+from tests import oracles
+
+
+def _assert_mostly_equal(got, want, min_agree=0.97):
+    agree = float(np.mean(got == want))
+    assert agree >= min_agree, f"only {agree:.3f} of pixels agree"
+
+
+def _oracle_aggregate_select(cost, weights, sigma, cfg, weight_scale=1.0):
+    d, h, w = cost.shape
+    tree = build_segment_tree_py(
+        weights, h, w, tau=cfg.tau, min_size=cfg.min_size_seg,
+        penalty=cfg.penalty_cross_seg, weight_scale=weight_scale,
+    )
+    nodes = np.moveaxis(cost, 0, -1).reshape(h * w, d)
+    filtered = oracles.tree_filter_oracle(
+        nodes, tree.bfs_order, tree.parent, tree.parent_weights(sigma)
+    )
+    disp = oracles.wta_oracle(np.moveaxis(filtered.reshape(h, w, d), -1, 0))
+    return oracles.median_oracle(disp.astype(np.uint8), 3)
+
+
+def _st1_oracle(left, right, cfg):
+    cost = oracles.color_grad_cost_volume_oracle(left, right, cfg.max_disp_levels)
+    disp = _oracle_aggregate_select(cost, color_edge_weights(left), cfg.sigma, cfg)
+    return np.minimum(disp.astype(np.int32) * cfg.disparity_scale, 255).astype(np.uint8)
+
+
+def test_st1_matches_composed_oracle(rng):
+    left = rng.integers(0, 256, size=(10, 14, 3), dtype=np.uint8)
+    right = rng.integers(0, 256, size=(10, 14, 3), dtype=np.uint8)
+    cfg = SegmentTreeConfig(max_disp_levels=6, tau=90.0, min_size_seg=5)
+    got = st1_disparity(left, right, cfg)
+    want = _st1_oracle(left, right, cfg)
+    _assert_mostly_equal(got, want)
+
+
+def test_st2_matches_composed_oracle(rng):
+    left = rng.integers(0, 256, size=(9, 12, 3), dtype=np.uint8)
+    right = rng.integers(0, 256, size=(9, 12, 3), dtype=np.uint8)
+    cfg = SegmentTreeConfig(max_disp_levels=5, tau=90.0, min_size_seg=5)
+    got = st2_disparity(left, right, cfg)
+
+    cost_l = oracles.color_grad_cost_volume_oracle(left, right, cfg.max_disp_levels)
+    cost_r = oracles.right_cost_from_left_oracle(cost_l)
+    disp_l = _oracle_aggregate_select(
+        cost_l, color_edge_weights(left), cfg.sigma_one, cfg
+    )
+    disp_r = _oracle_aggregate_select(
+        cost_r, color_edge_weights(right), cfg.sigma_one, cfg
+    )
+    mask = oracles.lr_mask_oracle(
+        disp_l.astype(np.int32), disp_r.astype(np.int32), cfg.lr_max_diff
+    )
+    cost = oracles.color_grad_cost_volume_oracle(left, right, cfg.max_disp_levels)
+    weights = color_depth_edge_weights(
+        left, disp_l, mask, cfg.max_disp_levels, cfg.alpha_dep_seg
+    )
+    disp = _oracle_aggregate_select(cost, weights, cfg.sigma, cfg, weight_scale=255.0)
+    want = np.minimum(disp.astype(np.int32) * cfg.disparity_scale, 255).astype(np.uint8)
+    _assert_mostly_equal(got, want)
