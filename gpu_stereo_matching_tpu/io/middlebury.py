@@ -56,12 +56,29 @@ def load_middlebury_scene(root: str | os.PathLike, name: str) -> MiddleburyScene
     )
 
 
+def nonocc_mask(gt_left_png: np.ndarray, gt_right_png: np.ndarray,
+                gt_scale: float = GT_SCALE) -> np.ndarray:
+    """Non-occluded valid pixels via GT left↔right cross-checking."""
+    gl = gt_left_png.astype(np.float64) / gt_scale
+    gr = gt_right_png.astype(np.float64) / gt_scale
+    h, w = gl.shape
+    x = np.arange(w)[None, :].repeat(h, 0)
+    src = np.clip(np.rint(x - gl).astype(np.int64), 0, w - 1)
+    gr_s = np.take_along_axis(gr, src, axis=1)
+    return (
+        (gt_left_png > 0)
+        & (x - gl >= 0)
+        & (np.abs(gl - gr_s) <= 1.0)
+    )
+
+
 def bad_pixel_rate(
     disp: np.ndarray,
     gt_png: np.ndarray,
     delta: float = 2.0,
     disp_scale: float = 1.0,
     gt_scale: float = GT_SCALE,
+    mask: "np.ndarray | None" = None,
 ) -> float:
     """Fraction of valid-GT pixels with |disp/disp_scale - gt/gt_scale| > delta.
 
@@ -70,7 +87,7 @@ def bad_pixel_rate(
     GT value 0 marks unknown pixels and is excluded.
     """
     gt = gt_png.astype(np.float64)
-    valid = gt > 0
+    valid = (gt > 0) if mask is None else ((gt > 0) & mask)
     est = disp.astype(np.float64) / disp_scale
     err = np.abs(est - gt / gt_scale)
     bad = (err > delta) & valid
