@@ -176,14 +176,28 @@ def build_segment_tree(
 # --------------------------------------------------------------------------
 
 
+_PRESMOOTH_JIT = None
+
+
 def _presmooth_bgr(img_bgr: np.ndarray) -> np.ndarray:
-    """3×3 clipped-window median per channel (``MeanFilter(img, img, 1)``)."""
+    """3×3 clipped-window median per channel (``MeanFilter(img, img, 1)``).
+
+    Jitted as one device program — eager per-op dispatch is prohibitively
+    chatty on remote/tunneled TPU backends.
+    """
+    global _PRESMOOTH_JIT
+    if _PRESMOOTH_JIT is None:
+        import functools
+
+        import jax
+
+        from gpu_stereo_matching_tpu.ops.postprocess import median_filter_u8
+
+        _PRESMOOTH_JIT = jax.jit(functools.partial(median_filter_u8, radius=1))
     import jax.numpy as jnp
 
-    from gpu_stereo_matching_tpu.ops.postprocess import median_filter_u8
-
-    cmaj = np.moveaxis(img_bgr, -1, 0)
-    sm = np.asarray(median_filter_u8(jnp.asarray(cmaj), 1))
+    cmaj = np.ascontiguousarray(np.moveaxis(img_bgr, -1, 0))
+    sm = np.asarray(_PRESMOOTH_JIT(jnp.asarray(cmaj)))
     return np.moveaxis(sm, 0, -1)
 
 
