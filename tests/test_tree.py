@@ -99,3 +99,43 @@ def test_tree_filter_uniform_weights_is_global_mean(rng):
     got = np.asarray(tree_filter(jnp.asarray(cost), tree, sigma=0.1))
     want = cost.sum(axis=(1, 2), keepdims=True) * np.ones_like(cost)
     np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+class TestHeavyPathFilter:
+    def _filter_hpd(self, cost, tree, sigma):
+        import jax.numpy as jnp
+
+        from gpu_stereo_matching_tpu.tree.hpd import (
+            HeavyPathPlan,
+            tree_filter_nodes_hpd,
+        )
+
+        d, h, w = cost.shape
+        plan = HeavyPathPlan.from_tree(tree, sigma)
+        nodes = jnp.asarray(np.moveaxis(cost, 0, -1).reshape(h * w, d))
+        out = np.asarray(tree_filter_nodes_hpd(nodes, plan))
+        return np.moveaxis(out.reshape(h, w, d), -1, 0)
+
+    @pytest.mark.parametrize("hw", [(7, 9), (12, 11), (1, 17), (16, 1)])
+    def test_matches_sequential_oracle(self, rng, hw):
+        h, w = hw
+        weights = _random_weights(rng, h, w)
+        tree = build_segment_tree(weights, h, w, tau=100.0, min_size=6, penalty=5.0)
+        cost = rng.random((4, h, w)).astype(np.float32)
+        got = self._filter_hpd(cost, tree, sigma=0.1)
+
+        nodes = np.moveaxis(cost, 0, -1).reshape(h * w, 4)
+        want_nodes = oracles.tree_filter_oracle(
+            nodes, tree.bfs_order, tree.parent, tree.parent_weights(0.1)
+        )
+        want = np.moveaxis(want_nodes.reshape(h, w, 4), -1, 0)
+        np.testing.assert_allclose(got, want, rtol=3e-5, atol=3e-5)
+
+    def test_matches_level_filter_large(self, rng):
+        h, w = 40, 37
+        weights = _random_weights(rng, h, w)
+        tree = build_segment_tree(weights, h, w, tau=300.0, min_size=20, penalty=5.0)
+        cost = rng.random((8, h, w)).astype(np.float32)
+        got = self._filter_hpd(cost, tree, sigma=0.08)
+        want = np.asarray(tree_filter(jnp.asarray(cost), tree, sigma=0.08))
+        np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
