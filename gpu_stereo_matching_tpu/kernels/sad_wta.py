@@ -67,8 +67,12 @@ def _kernel(
     cp_l.wait()
     cp_r.wait()
 
-    lf = lbuf[0:halo_rows, :].astype(jnp.int32)
-    rf = rbuf[0:halo_rows, :].astype(jnp.int32)
+    # int32 throughout: v5e's VPU has no 16-bit integer compare/max/abs
+    # (and the dynamic rotate is 32-bit only), so narrower accumulators
+    # buy nothing on this generation.
+    acc_dtype = jnp.int32
+    lf = lbuf[0:halo_rows, :].astype(acc_dtype)
+    rf32 = rbuf[0:halo_rows, :].astype(jnp.int32)
     col = jax.lax.broadcasted_iota(jnp.int32, (halo_rows, wp), dimension=1)
     in_width = col < true_width
 
@@ -76,10 +80,10 @@ def _kernel(
         best, best_d = carry
         # shifted[x] = R[x - d]: lane-rotate right by d. Wrapped lanes land
         # only in the x < d region, which is masked to the invalid cost.
-        shifted = pltpu.roll(rf, d, 1)
+        shifted = pltpu.roll(rf32, d, 1)
         diff = jnp.abs(lf - shifted)
-        diff = jnp.where(col < d, invalid_cost, diff)
-        diff = jnp.where(in_width, diff, 0)
+        diff = jnp.where(col < d, jnp.asarray(invalid_cost, acc_dtype), diff)
+        diff = jnp.where(in_width, diff, jnp.asarray(0, acc_dtype))
         # Vertical box: sum of 2r+1 row-shifted slabs → (tile_h, Wp).
         vsum = diff[0:tile_h, :]
         for j in range(1, 2 * r + 1):
@@ -91,15 +95,17 @@ def _kernel(
             sad = sad + hp[:, j : j + wp]
         upd = sad < best
         best = jnp.where(upd, sad, best)
-        best_d = jnp.where(upd, d, best_d)
+        # Keep the argmin in the same lane width as the compare mask —
+        # mixed 16/32-bit select layouts are not relayout-able by Mosaic.
+        best_d = jnp.where(upd, d.astype(acc_dtype), best_d)
         return best, best_d
 
     init = (
-        jnp.full((tile_h, wp), jnp.iinfo(jnp.int32).max, jnp.int32),
-        jnp.zeros((tile_h, wp), jnp.int32),
+        jnp.full((tile_h, wp), jnp.iinfo(acc_dtype).max, acc_dtype),
+        jnp.zeros((tile_h, wp), acc_dtype),
     )
     _, best_d = jax.lax.fori_loop(0, num_disparities, body, init)
-    disp_out[:, :] = best_d
+    disp_out[:, :] = best_d.astype(jnp.int32)
 
 
 @functools.partial(

@@ -118,3 +118,11 @@ def test_round_sat_u8():
     got = np.asarray(ops.round_sat_u8(x))
     # round-half-even: 0.5→0, 1.5→2, 2.5→2
     np.testing.assert_array_equal(got, np.array([0, 0, 0, 2, 2, 255, 255, 255], np.uint8))
+
+
+@pytest.mark.parametrize("radius", [2, 5, 8])
+def test_median_filter_histogram(rng, radius):
+    img = rng.integers(0, 256, size=(14, 19), dtype=np.uint8)
+    got = np.asarray(ops.median_filter_u8(jnp.asarray(img), radius, method="histogram"))
+    want = oracles.median_oracle(img, radius)
+    np.testing.assert_array_equal(got, want)
