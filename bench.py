@@ -16,6 +16,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from gpu_stereo_matching_tpu.utils.cache import enable_jit_cache
+
+    enable_jit_cache()
+
     from gpu_stereo_matching_tpu.kernels.sad_wta import fused_block_matching
 
     rng = np.random.default_rng(0)

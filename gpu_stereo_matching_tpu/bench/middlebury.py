@@ -57,7 +57,12 @@ def evaluate_scene(
 ) -> SceneResult:
     """Run one pipeline on one scene; bad-δ against GT when available."""
     t0 = time.perf_counter()
-    if pipeline == "bm":
+    if pipeline in ("bm", "bm+"):
+        if pipeline == "bm+":
+            # BASELINE config 2: box aggregation + LR consistency + median.
+            bm_config = dataclasses.replace(
+                bm_config, lr_consistency=True, median_radius=3
+            )
         left = gray_rec601_bgr(jnp.asarray(scene.left_bgr))
         right = gray_rec601_bgr(jnp.asarray(scene.right_bgr))
         disp = np.asarray(block_matching_pipeline(left, right, bm_config))

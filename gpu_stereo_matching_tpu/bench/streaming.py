@@ -1,0 +1,61 @@
+"""Calibrated-rig streaming throughput (BASELINE config 4).
+
+End-to-end per frame: BGR → gray → bilinear remap through cached
+rectification maps → fused Pallas block matching. Measured as a single
+on-device dispatch over a frame batch (steady-state streaming).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def run_streaming_benchmark(
+    calib_path: str = "/root/reference/Calib_Data_OpenCV.yml",
+    height: int = 720,
+    width: int = 1280,
+    calib_size_hw=(800, 1280),
+    num_frames: int = 16,
+    num_disparities: int = 64,
+    radius: int = 5,
+) -> float:
+    import jax
+
+    from gpu_stereo_matching_tpu.core.config import BlockMatchingConfig
+    from gpu_stereo_matching_tpu.models.streaming import rig_from_yaml
+
+    rig = rig_from_yaml(
+        calib_path,
+        (height, width),
+        BlockMatchingConfig(num_disparities=num_disparities, sad_radius=radius),
+        scale_intrinsics_from=calib_size_hw,
+    )
+    rng = np.random.default_rng(0)
+    lb = rng.integers(0, 256, (num_frames, height, width, 3), dtype=np.uint8)
+    rb = rng.integers(0, 256, (num_frames, height, width, 3), dtype=np.uint8)
+
+    out = rig.process_batch(lb, rb)
+    jax.block_until_ready(out)  # compile + warm
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(rig.process_batch(lb, rb))
+        best = min(best, time.perf_counter() - t0)
+    fps = num_frames / best
+    print(
+        json.dumps(
+            {
+                "metric": f"rig_streaming_{height}p_{num_disparities}disp_fps",
+                "value": round(fps, 1),
+                "unit": "frames/sec/chip",
+            }
+        )
+    )
+    return fps
+
+
+if __name__ == "__main__":
+    run_streaming_benchmark()

@@ -67,9 +67,9 @@ def _kernel(
     cp_l.wait()
     cp_r.wait()
 
-    # int32 throughout: v5e's VPU has no 16-bit integer compare/max/abs
-    # (and the dynamic rotate is 32-bit only), so narrower accumulators
-    # buy nothing on this generation.
+    # 32-bit integer lanes throughout: v5e's VPU has no 16-bit integer
+    # compare/max/abs (and the dynamic rotate is 32-bit only), so narrower
+    # accumulators buy nothing on this generation; f32 measures no faster.
     acc_dtype = jnp.int32
     lf = lbuf[0:halo_rows, :].astype(acc_dtype)
     rf32 = rbuf[0:halo_rows, :].astype(jnp.int32)
@@ -97,15 +97,15 @@ def _kernel(
         best = jnp.where(upd, sad, best)
         # Keep the argmin in the same lane width as the compare mask —
         # mixed 16/32-bit select layouts are not relayout-able by Mosaic.
-        best_d = jnp.where(upd, d.astype(acc_dtype), best_d)
+        best_d = jnp.where(upd, d, best_d)
         return best, best_d
 
     init = (
         jnp.full((tile_h, wp), jnp.iinfo(acc_dtype).max, acc_dtype),
-        jnp.zeros((tile_h, wp), acc_dtype),
+        jnp.zeros((tile_h, wp), jnp.int32),
     )
     _, best_d = jax.lax.fori_loop(0, num_disparities, body, init)
-    disp_out[:, :] = best_d.astype(jnp.int32)
+    disp_out[:, :] = best_d
 
 
 @functools.partial(
