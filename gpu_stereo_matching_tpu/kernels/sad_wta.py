@@ -125,6 +125,9 @@ def fused_block_matching(
     Bit-exact with the unfused XLA ops path; ``interpret=True`` runs the
     Pallas interpreter (the CPU-test / "sanitizer" mode).
     """
+    from gpu_stereo_matching_tpu.core.validation import check_gray_pair
+
+    check_gray_pair(left_gray, right_gray, num_disparities, "fused_block_matching")
     h, w = left_gray.shape
     r = radius
     num_tiles = -(-h // tile_h)

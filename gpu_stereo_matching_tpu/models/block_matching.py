@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from gpu_stereo_matching_tpu.core.config import BlockMatchingConfig
+from gpu_stereo_matching_tpu.core.validation import check_gray_pair
 from gpu_stereo_matching_tpu.ops.aggregate import aggregate_cost_volume
 from gpu_stereo_matching_tpu.ops.cost import ad_cost_volume
 from gpu_stereo_matching_tpu.ops.postprocess import lr_consistency_mask, median_filter_u8
@@ -82,6 +83,7 @@ def block_matching_pipeline(
     config: BlockMatchingConfig = BlockMatchingConfig(),
 ) -> jnp.ndarray:
     """Jitted single-pair (H, W) or batched (B, H, W) block matching."""
+    check_gray_pair(left_gray, right_gray, config.num_disparities, "block_matching")
     if left_gray.ndim == 3:
         return jax.vmap(lambda l, r: block_matching_disparity(l, r, config))(
             left_gray, right_gray

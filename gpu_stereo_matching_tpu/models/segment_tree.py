@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gpu_stereo_matching_tpu.core.config import SegmentTreeConfig
+from gpu_stereo_matching_tpu.core.validation import check_bgr_pair
 from gpu_stereo_matching_tpu.ops.cost import (
     color_gradient_cost_volume,
     right_cost_from_left,
@@ -91,6 +92,7 @@ def st1_disparity(
     config: SegmentTreeConfig = SegmentTreeConfig(),
 ) -> np.ndarray:
     """ST-1 scaled disparity of a BGR uint8 pair → (H, W) uint8."""
+    check_bgr_pair(left_bgr, right_bgr, config.max_disp_levels, "st1")
     cost = _cost_volume_jit(
         jnp.asarray(left_bgr), jnp.asarray(right_bgr), config.max_disp_levels
     )
@@ -104,6 +106,7 @@ def st2_disparity(
     config: SegmentTreeConfig = SegmentTreeConfig(),
 ) -> np.ndarray:
     """ST-2 (iteration + LR consistency + re-segmentation) → (H, W) uint8."""
+    check_bgr_pair(left_bgr, right_bgr, config.max_disp_levels, "st2")
     jl, jr = jnp.asarray(left_bgr), jnp.asarray(right_bgr)
     cost_left = _cost_volume_jit(jl, jr, config.max_disp_levels)
     cost_right = _right_from_left_jit(cost_left)

@@ -126,3 +126,19 @@ def test_median_filter_histogram(rng, radius):
     got = np.asarray(ops.median_filter_u8(jnp.asarray(img), radius, method="histogram"))
     want = oracles.median_oracle(img, radius)
     np.testing.assert_array_equal(got, want)
+
+
+def test_input_validation(rng):
+    import pytest as _pytest
+
+    from gpu_stereo_matching_tpu.models.block_matching import block_matching_pipeline
+    from gpu_stereo_matching_tpu.core.config import BlockMatchingConfig
+
+    good = jnp.asarray(rng.integers(0, 256, (10, 32), dtype=np.uint8))
+    with _pytest.raises(ValueError):
+        block_matching_pipeline(good, good[:, :16], BlockMatchingConfig(num_disparities=4))
+    with _pytest.raises(ValueError):
+        block_matching_pipeline(good, good, BlockMatchingConfig(num_disparities=64))
+    with _pytest.raises(TypeError):
+        f32 = good.astype(jnp.float32)
+        block_matching_pipeline(f32, f32, BlockMatchingConfig(num_disparities=4))
