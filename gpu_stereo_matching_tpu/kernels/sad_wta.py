@@ -171,3 +171,132 @@ def fused_block_matching(
         interpret=interpret,
     )(left_p, right_p)
     return disp[:h, :w]
+
+
+def _key_kernel(
+    d0_ref,        # (1, 1) SMEM: first disparity of this shard's range
+    left_hbm,
+    right_hbm,
+    key_out,       # (TILE_H, Wp) i32: min over local d of SAD·total_d + d
+    lbuf,
+    rbuf,
+    sems,
+    *,
+    count: int,
+    total_disparities: int,
+    radius: int,
+    tile_h: int,
+    true_width: int,
+    invalid_cost: int,
+):
+    i = pl.program_id(0)
+    r = radius
+    halo_rows = tile_h + 2 * r
+    slab_rows = lbuf.shape[0]
+    wp = key_out.shape[1]
+    d0 = d0_ref[0, 0]
+
+    row0 = i * tile_h
+    cp_l = pltpu.make_async_copy(
+        left_hbm.at[pl.ds(row0, slab_rows), :], lbuf, sems.at[0]
+    )
+    cp_r = pltpu.make_async_copy(
+        right_hbm.at[pl.ds(row0, slab_rows), :], rbuf, sems.at[1]
+    )
+    cp_l.start()
+    cp_r.start()
+    cp_l.wait()
+    cp_r.wait()
+
+    lf = lbuf[0:halo_rows, :].astype(jnp.int32)
+    rf32 = rbuf[0:halo_rows, :].astype(jnp.int32)
+    col = jax.lax.broadcasted_iota(jnp.int32, (halo_rows, wp), dimension=1)
+    in_width = col < true_width
+
+    def body(i_d, best_key):
+        d = d0 + i_d
+        shifted = pltpu.roll(rf32, d, 1)
+        diff = jnp.abs(lf - shifted)
+        diff = jnp.where(col < d, invalid_cost, diff)
+        diff = jnp.where(in_width, diff, 0)
+        vsum = diff[0:tile_h, :]
+        for j in range(1, 2 * r + 1):
+            vsum = vsum + diff[j : j + tile_h, :]
+        hp = jnp.pad(vsum, ((0, 0), (r, r)))
+        sad = hp[:, 0:wp]
+        for j in range(1, 2 * r + 1):
+            sad = sad + hp[:, j : j + wp]
+        key = sad * total_disparities + d
+        return jnp.minimum(best_key, key)
+
+    init = jnp.full((tile_h, wp), jnp.iinfo(jnp.int32).max, jnp.int32)
+    key_out[:, :] = jax.lax.fori_loop(0, count, body, init)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "count", "total_disparities", "radius", "tile_h", "interpret"
+    ),
+)
+def fused_block_matching_key(
+    left_gray: jnp.ndarray,
+    right_gray: jnp.ndarray,
+    d_start: jnp.ndarray,
+    count: int,
+    total_disparities: int,
+    radius: int = 5,
+    tile_h: int = 32,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Partial-range WTA for disparity-sharded execution → (H, W) int32 keys.
+
+    Evaluates disparities ``d_start .. d_start+count-1`` (``d_start`` may be
+    traced, e.g. a mesh-axis index) and returns the packed minimum
+    ``SAD·total_disparities + d`` — the associative quantity a cross-shard
+    ``pmin`` reduces to recover the global (SAD, argmin) pair with
+    smallest-d tie-breaking.
+    """
+    h, w = left_gray.shape
+    r = radius
+    num_tiles = -(-h // tile_h)
+    hp = num_tiles * tile_h
+    slab_rows = -(-(tile_h + 2 * r) // 8) * 8
+    total_rows = max((num_tiles - 1) * tile_h + slab_rows, hp + 2 * r)
+    wp = -(-w // 128) * 128
+
+    left_p = jnp.zeros((total_rows, wp), jnp.uint8)
+    left_p = jax.lax.dynamic_update_slice(left_p, left_gray, (r, 0))
+    right_p = jnp.zeros((total_rows, wp), jnp.uint8)
+    right_p = jax.lax.dynamic_update_slice(right_p, right_gray, (r, 0))
+    d0 = jnp.asarray(d_start, jnp.int32).reshape(1, 1)
+
+    kernel = functools.partial(
+        _key_kernel,
+        count=count,
+        total_disparities=total_disparities,
+        radius=r,
+        tile_h=tile_h,
+        true_width=w,
+        invalid_cost=255,
+    )
+    keys = pl.pallas_call(
+        kernel,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile_h, wp), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((slab_rows, wp), jnp.uint8),
+            pltpu.VMEM((slab_rows, wp), jnp.uint8),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(d0, left_p, right_p)
+    return keys[:h, :w]

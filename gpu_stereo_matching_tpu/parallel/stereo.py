@@ -29,11 +29,20 @@ from gpu_stereo_matching_tpu.ops.cost import ad_cost_volume_offset
 from gpu_stereo_matching_tpu.parallel.halo import extend_with_row_halos
 
 
-def make_sharded_block_matching(mesh: Mesh, config: BlockMatchingConfig):
+def make_sharded_block_matching(
+    mesh: Mesh,
+    config: BlockMatchingConfig,
+    use_pallas: bool = False,
+    interpret: bool = False,
+):
     """Build a jitted (B, H, W)×2 → (B, H, W) sharded disparity step.
 
     Inputs are uint8 gray batches sharded ``P('data', 'space', None)``;
     output disparities have the same sharding (replicated over ``disp``).
+    ``use_pallas`` runs each shard's partial-range WTA through the fused
+    kernel (``fused_block_matching_key``); the default XLA path is
+    platform-agnostic (``interpret`` forces the kernel interpreter for CPU
+    testing of the Pallas path).
     """
     num_d = config.num_disparities
     n_disp_shards = mesh.shape["disp"]
@@ -47,16 +56,30 @@ def make_sharded_block_matching(mesh: Mesh, config: BlockMatchingConfig):
         rex = extend_with_row_halos(right, radius, "space")
         d0 = lax.axis_index("disp") * d_per_shard
 
-        def per_frame(lf, rf):
-            vol = ad_cost_volume_offset(
-                lf, rf, d_per_shard, d0, int(config.invalid_cost)
+        if use_pallas:
+            from gpu_stereo_matching_tpu.kernels.sad_wta import (
+                fused_block_matching_key,
             )
-            sad = aggregate_cost_volume(vol, radius)  # (dl, Hl+2r, W) int32
-            if radius > 0:
-                sad = sad[:, radius:-radius, :]
-            d_ids = d0 + jnp.arange(d_per_shard, dtype=jnp.int32)
-            key = sad * num_d + d_ids[:, None, None]
-            return jnp.min(key, axis=0)
+
+            def per_frame(lf, rf):
+                keys = fused_block_matching_key(
+                    lf, rf, d0, d_per_shard, num_d, radius,
+                    interpret=interpret,
+                )
+                if radius > 0:
+                    keys = keys[radius:-radius, :]
+                return keys
+        else:
+            def per_frame(lf, rf):
+                vol = ad_cost_volume_offset(
+                    lf, rf, d_per_shard, d0, int(config.invalid_cost)
+                )
+                sad = aggregate_cost_volume(vol, radius)  # (dl, Hl+2r, W) i32
+                if radius > 0:
+                    sad = sad[:, radius:-radius, :]
+                d_ids = d0 + jnp.arange(d_per_shard, dtype=jnp.int32)
+                key = sad * num_d + d_ids[:, None, None]
+                return jnp.min(key, axis=0)
 
         key = jax.vmap(per_frame)(lex, rex)
         key = lax.pmin(key, "disp")

@@ -50,3 +50,19 @@ def test_uneven_disparity_split_rejected():
     mesh = build_mesh(MeshConfig(data=1, space=1, disp=4))
     with pytest.raises(ValueError):
         make_sharded_block_matching(mesh, BlockMatchingConfig(num_disparities=6))
+
+
+@pytest.mark.parametrize("mesh_shape", [(1, 2, 2), (2, 1, 2)])
+def test_sharded_pallas_kernel_matches(rng, mesh_shape):
+    data, space, disp = mesh_shape
+    cfg = BlockMatchingConfig(num_disparities=8, sad_radius=2)
+    b, h, w = 2, 24, 20
+    left = rng.integers(0, 256, size=(b, h, w), dtype=np.uint8)
+    right = rng.integers(0, 256, size=(b, h, w), dtype=np.uint8)
+
+    mesh = build_mesh(MeshConfig(data=data, space=space, disp=disp))
+    step = make_sharded_block_matching(mesh, cfg, use_pallas=True, interpret=True)
+    jl, jr = shard_batch(mesh, jnp.asarray(left), jnp.asarray(right))
+    got = np.asarray(step(jl, jr))
+    want = np.asarray(block_matching_pipeline(jnp.asarray(left), jnp.asarray(right), cfg))
+    np.testing.assert_array_equal(got, want)
