@@ -90,16 +90,23 @@ class HeavyPathPlan:
         is_heavy_child = np.zeros(n, bool)
         is_heavy_child[heavy[heavy >= 0]] = True
 
-        # Light depth and path head per node, swept level by level (parents
-        # precede children). Heavy edges keep the head, so all nodes of a
-        # path share the head's light depth.
-        light_depth = np.zeros(n, np.int32)
-        head_of = np.zeros(n, np.int64)
-        for l in range(1, tree.num_levels):
-            nodes_l = bfs[tree.level_start[l] : tree.level_start[l + 1]]
-            hc = is_heavy_child[nodes_l]
-            light_depth[nodes_l] = light_depth[parent[nodes_l]] + np.where(hc, 0, 1)
-            head_of[nodes_l] = np.where(hc, head_of[parent[nodes_l]], nodes_l)
+        # Light depth (light edges on the root path) and path head per node,
+        # by pointer doubling — O(log depth) vectorized rounds instead of a
+        # Python sweep over every BFS level (3120 levels on Art).
+        light = ~is_heavy_child
+        light[0] = False  # the root has no parent edge
+        light_depth64 = light.astype(np.int64)
+        jump = parent.copy()
+        # head pointer: fixed point at path heads (light nodes and the root)
+        head_ptr = np.where(light | (np.arange(n) == 0), np.arange(n), parent)
+        max_depth = int(tree.num_levels)
+        rounds = max(1, int(np.ceil(np.log2(max(max_depth, 2)))))
+        for _ in range(rounds):
+            light_depth64 = light_depth64 + light_depth64[jump]
+            jump = jump[jump]
+            head_ptr = head_ptr[head_ptr]
+        light_depth = light_depth64.astype(np.int32)
+        head_of = head_ptr.astype(np.int64)
 
         # Concatenated layout: sort all nodes by (round, path head, depth);
         # every path is contiguous head→tail inside its round block.
