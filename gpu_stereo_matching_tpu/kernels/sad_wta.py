@@ -300,3 +300,127 @@ def fused_block_matching_key(
         interpret=interpret,
     )(d0, left_p, right_p)
     return keys[:h, :w]
+
+
+def _batched_kernel(
+    left_hbm,      # (B, rows, Wp) u8
+    right_hbm,     # (B, rows, Wp) u8
+    disp_out,      # (1, TILE_H, Wp) i32 block
+    lbuf,
+    rbuf,
+    sems,
+    *,
+    num_disparities: int,
+    radius: int,
+    tile_h: int,
+    true_width: int,
+    invalid_cost: int,
+):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    r = radius
+    halo_rows = tile_h + 2 * r
+    slab_rows = lbuf.shape[0]
+    wp = disp_out.shape[2]
+
+    row0 = i * tile_h
+    cp_l = pltpu.make_async_copy(
+        left_hbm.at[b, pl.ds(row0, slab_rows), :], lbuf, sems.at[0]
+    )
+    cp_r = pltpu.make_async_copy(
+        right_hbm.at[b, pl.ds(row0, slab_rows), :], rbuf, sems.at[1]
+    )
+    cp_l.start()
+    cp_r.start()
+    cp_l.wait()
+    cp_r.wait()
+
+    lf = lbuf[0:halo_rows, :].astype(jnp.int32)
+    rf32 = rbuf[0:halo_rows, :].astype(jnp.int32)
+    col = jax.lax.broadcasted_iota(jnp.int32, (halo_rows, wp), dimension=1)
+    in_width = col < true_width
+
+    def body(d, carry):
+        best, best_d = carry
+        shifted = pltpu.roll(rf32, d, 1)
+        diff = jnp.abs(lf - shifted)
+        diff = jnp.where(col < d, invalid_cost, diff)
+        diff = jnp.where(in_width, diff, 0)
+        vsum = diff[0:tile_h, :]
+        for j in range(1, 2 * r + 1):
+            vsum = vsum + diff[j : j + tile_h, :]
+        hp = jnp.pad(vsum, ((0, 0), (r, r)))
+        sad = hp[:, 0:wp]
+        for j in range(1, 2 * r + 1):
+            sad = sad + hp[:, j : j + wp]
+        upd = sad < best
+        return jnp.where(upd, sad, best), jnp.where(upd, d, best_d)
+
+    init = (
+        jnp.full((tile_h, wp), jnp.iinfo(jnp.int32).max, jnp.int32),
+        jnp.zeros((tile_h, wp), jnp.int32),
+    )
+    _, best_d = jax.lax.fori_loop(0, num_disparities, body, init)
+    disp_out[0, :, :] = best_d
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_disparities", "radius", "tile_h", "interpret"),
+)
+def fused_block_matching_batched(
+    left_gray: jnp.ndarray,
+    right_gray: jnp.ndarray,
+    num_disparities: int = 64,
+    radius: int = 5,
+    tile_h: int = 32,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Batched fused disparity: (B, H, W) uint8 pairs → (B, H, W) int32.
+
+    One pallas_call with a (frame, row-tile) grid — a whole video batch is
+    a single device dispatch with no per-frame XLA glue.
+    """
+    from gpu_stereo_matching_tpu.core.validation import check_gray_pair
+
+    check_gray_pair(left_gray, right_gray, num_disparities, "fused_batched")
+    bsz, h, w = left_gray.shape
+    r = radius
+    num_tiles = -(-h // tile_h)
+    hp = num_tiles * tile_h
+    slab_rows = -(-(tile_h + 2 * r) // 8) * 8
+    total_rows = max((num_tiles - 1) * tile_h + slab_rows, hp + 2 * r)
+    wp = -(-w // 128) * 128
+
+    left_p = jnp.zeros((bsz, total_rows, wp), jnp.uint8)
+    left_p = jax.lax.dynamic_update_slice(left_p, left_gray, (0, r, 0))
+    right_p = jnp.zeros((bsz, total_rows, wp), jnp.uint8)
+    right_p = jax.lax.dynamic_update_slice(right_p, right_gray, (0, r, 0))
+
+    kernel = functools.partial(
+        _batched_kernel,
+        num_disparities=num_disparities,
+        radius=r,
+        tile_h=tile_h,
+        true_width=w,
+        invalid_cost=255,
+    )
+    disp = pl.pallas_call(
+        kernel,
+        grid=(bsz, num_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile_h, wp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz, hp, wp), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((slab_rows, wp), jnp.uint8),
+            pltpu.VMEM((slab_rows, wp), jnp.uint8),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(left_p, right_p)
+    return disp[:, :h, :w]

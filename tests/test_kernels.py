@@ -38,3 +38,19 @@ def test_fused_block_matching_tile_not_dividing(rng):
     )
     want = _oracle_disparity(left, right, 4, 1)
     np.testing.assert_array_equal(got, want)
+
+
+def test_fused_batched_interpret(rng):
+    from gpu_stereo_matching_tpu.kernels.sad_wta import fused_block_matching_batched
+
+    left = rng.integers(0, 256, size=(2, 19, 22), dtype=np.uint8)
+    right = rng.integers(0, 256, size=(2, 19, 22), dtype=np.uint8)
+    got = np.asarray(
+        fused_block_matching_batched(
+            jnp.asarray(left), jnp.asarray(right),
+            num_disparities=8, radius=2, tile_h=8, interpret=True,
+        )
+    )
+    for b in range(2):
+        want = _oracle_disparity(left[b], right[b], 8, 2)
+        np.testing.assert_array_equal(got[b], want)
