@@ -68,7 +68,12 @@ def _cmd_bm(args) -> int:
         )
         disp = block_matching_pipeline(left, right, cfg)
     out = np.asarray(disp)
-    save_image(args.out, np.clip(out * args.scale, 0, 255).astype(np.uint8))
+    if args.colorize:
+        from gpu_stereo_matching_tpu.io.visualize import colorize_disparity
+
+        save_image(args.out, colorize_disparity(out, args.disparities))
+    else:
+        save_image(args.out, np.clip(out * args.scale, 0, 255).astype(np.uint8))
     print(f"wrote {args.out} (max disparity {int(out.max())})")
     return 0
 
@@ -170,6 +175,7 @@ def build_parser() -> argparse.ArgumentParser:
     bm.add_argument("--fused", action="store_true", help="use the Pallas kernel")
     bm.add_argument("--lr-check", action="store_true")
     bm.add_argument("--median-radius", type=int, default=0)
+    bm.add_argument("--colorize", action="store_true", help="turbo-colormap output")
     bm.set_defaults(fn=_cmd_bm)
 
     rect = sub.add_parser("rectify", help="calibrated rectification + remap")

@@ -61,3 +61,18 @@ def test_pair_list_source(tmp_path, rng):
     frames = list(PairListSource([(lp, rp)]).frames())
     assert len(frames) == 1
     np.testing.assert_array_equal(frames[0][0], frames[0][1])
+
+
+def test_turbo_colormap_and_colorize(rng):
+    from gpu_stereo_matching_tpu.io.visualize import colorize_disparity, turbo_colormap
+
+    ramp = turbo_colormap(np.linspace(0, 1, 16))
+    assert ramp.shape == (16, 3) and ramp.dtype == np.uint8
+    # Turbo goes blue → red: red channel increases, blue decreases
+    assert ramp[-1, 0] > ramp[0, 0] and ramp[0, 2] > ramp[-1, 2]
+
+    disp = rng.integers(0, 64, size=(8, 9)).astype(np.int32)
+    disp[0, 0] = 0
+    vis = colorize_disparity(disp, max_disparity=64)
+    assert vis.shape == (8, 9, 3)
+    np.testing.assert_array_equal(vis[0, 0], [0, 0, 0])  # invalid blacked out
