@@ -76,3 +76,24 @@ def test_st2_matches_composed_oracle(rng):
     disp = _oracle_aggregate_select(cost, weights, cfg.sigma, cfg, weight_scale=255.0)
     want = np.minimum(disp.astype(np.int32) * cfg.disparity_scale, 255).astype(np.uint8)
     _assert_mostly_equal(got, want)
+
+
+def test_st1_tiled_single_band_equals_global(rng):
+    from gpu_stereo_matching_tpu.models.segment_tree_tiled import st1_disparity_tiled
+
+    left = rng.integers(0, 256, size=(12, 16, 3), dtype=np.uint8)
+    right = rng.integers(0, 256, size=(12, 16, 3), dtype=np.uint8)
+    cfg = SegmentTreeConfig(max_disp_levels=5, tau=90.0, min_size_seg=5)
+    got = st1_disparity_tiled(left, right, 1, cfg)
+    want = st1_disparity(left, right, cfg)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_st1_tiled_two_bands_runs(rng):
+    from gpu_stereo_matching_tpu.models.segment_tree_tiled import st1_disparity_tiled
+
+    left = rng.integers(0, 256, size=(14, 16, 3), dtype=np.uint8)
+    right = rng.integers(0, 256, size=(14, 16, 3), dtype=np.uint8)
+    cfg = SegmentTreeConfig(max_disp_levels=5, tau=90.0, min_size_seg=5)
+    disp = st1_disparity_tiled(left, right, 2, cfg)
+    assert disp.shape == (14, 16)
