@@ -40,7 +40,7 @@ from gpu_stereo_matching_tpu.tree.builder import (
     color_depth_edge_weights,
     color_edge_weights,
 )
-from gpu_stereo_matching_tpu.tree.filter import TreeFilterPlan, tree_filter_nodes
+from gpu_stereo_matching_tpu.tree.filter import tree_filter_nodes
 from gpu_stereo_matching_tpu.tree.hpd import HeavyPathPlan, tree_filter_nodes_hpd
 
 

@@ -11,7 +11,7 @@ from gpu_stereo_matching_tpu.tree.builder import (
     color_edge_weights,
     grid_edges,
 )
-from gpu_stereo_matching_tpu.tree.filter import TreeFilterPlan, tree_filter
+from gpu_stereo_matching_tpu.tree.filter import tree_filter
 from tests import oracles
 
 

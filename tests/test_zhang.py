@@ -1,11 +1,9 @@
 """Zhang calibration on synthetic chessboard views: parameter recovery."""
 
 import numpy as np
-import pytest
 
 from gpu_stereo_matching_tpu.calib.rectify import _rodrigues_to_matrix
 from gpu_stereo_matching_tpu.calib.zhang import (
-    CameraCalibration,
     calibrate_camera,
     chessboard_object_points,
     estimate_homography,
