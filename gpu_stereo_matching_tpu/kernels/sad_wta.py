@@ -35,6 +35,43 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+
+
+def _sliding_sum(arr, k: int, axis: int):
+    """Length-k sliding window sum along ``axis`` by binary doubling.
+
+    out[i] = Σ arr[i : i+k]; uses ~2·⌈log₂k⌉ shifted adds instead of k-1
+    (k=11: 5 adds vs 10). Output length is ``arr.shape[axis] - k + 1``.
+    """
+
+    def window(x, ofs, length=None):
+        idx = [slice(None)] * x.ndim
+        idx[axis] = slice(ofs, None if length is None else ofs + length)
+        return x[tuple(idx)]
+
+    # power[j] holds sliding sums of length 2^j
+    power = [arr]
+    span = 1
+    while span * 2 <= k:
+        prev = power[-1]
+        keep = prev.shape[axis] - span
+        power.append(window(prev, 0, keep) + window(prev, span))
+        span *= 2
+
+    out, offset, remaining = None, 0, k
+    for j in range(len(power) - 1, -1, -1):
+        blk = 1 << j
+        if remaining >= blk:
+            term = window(power[j], offset)
+            if out is None:
+                out = term
+            else:
+                out = window(out, 0, term.shape[axis]) + term
+            offset += blk
+            remaining -= blk
+    return out
+
+
 def _kernel(
     left_hbm,      # (rows, Wp) u8; r zero rows on top, zero lane padding
     right_hbm,     # (rows, Wp) u8, same layout
@@ -84,15 +121,12 @@ def _kernel(
         diff = jnp.abs(lf - shifted)
         diff = jnp.where(col < d, jnp.asarray(invalid_cost, acc_dtype), diff)
         diff = jnp.where(in_width, diff, jnp.asarray(0, acc_dtype))
-        # Vertical box: sum of 2r+1 row-shifted slabs → (tile_h, Wp).
-        vsum = diff[0:tile_h, :]
-        for j in range(1, 2 * r + 1):
-            vsum = vsum + diff[j : j + tile_h, :]
-        # Horizontal box with zero extension (clipped-window semantics).
-        hp = jnp.pad(vsum, ((0, 0), (r, r)))
-        sad = hp[:, 0:wp]
-        for j in range(1, 2 * r + 1):
-            sad = sad + hp[:, j : j + wp]
+        # Separable (2r+1)² box via doubling sliding sums (≈2·log₂ adds
+        # per axis instead of 2r); zero extension keeps clipped-window
+        # semantics.
+        vsum = _sliding_sum(diff, 2 * r + 1, axis=0)[0:tile_h, :]
+        hp = jnp.pad(vsum, ((0, 0), (r, r + 2 * r + 2)))
+        sad = _sliding_sum(hp, 2 * r + 1, axis=1)[:, 0:wp]
         upd = sad < best
         best = jnp.where(upd, sad, best)
         # Keep the argmin in the same lane width as the compare mask —
@@ -219,13 +253,9 @@ def _key_kernel(
         diff = jnp.abs(lf - shifted)
         diff = jnp.where(col < d, invalid_cost, diff)
         diff = jnp.where(in_width, diff, 0)
-        vsum = diff[0:tile_h, :]
-        for j in range(1, 2 * r + 1):
-            vsum = vsum + diff[j : j + tile_h, :]
-        hp = jnp.pad(vsum, ((0, 0), (r, r)))
-        sad = hp[:, 0:wp]
-        for j in range(1, 2 * r + 1):
-            sad = sad + hp[:, j : j + wp]
+        vsum = _sliding_sum(diff, 2 * r + 1, axis=0)[0:tile_h, :]
+        hp = jnp.pad(vsum, ((0, 0), (r, r + 2 * r + 2)))
+        sad = _sliding_sum(hp, 2 * r + 1, axis=1)[:, 0:wp]
         key = sad * total_disparities + d
         return jnp.minimum(best_key, key)
 
@@ -346,13 +376,9 @@ def _batched_kernel(
         diff = jnp.abs(lf - shifted)
         diff = jnp.where(col < d, invalid_cost, diff)
         diff = jnp.where(in_width, diff, 0)
-        vsum = diff[0:tile_h, :]
-        for j in range(1, 2 * r + 1):
-            vsum = vsum + diff[j : j + tile_h, :]
-        hp = jnp.pad(vsum, ((0, 0), (r, r)))
-        sad = hp[:, 0:wp]
-        for j in range(1, 2 * r + 1):
-            sad = sad + hp[:, j : j + wp]
+        vsum = _sliding_sum(diff, 2 * r + 1, axis=0)[0:tile_h, :]
+        hp = jnp.pad(vsum, ((0, 0), (r, r + 2 * r + 2)))
+        sad = _sliding_sum(hp, 2 * r + 1, axis=1)[:, 0:wp]
         upd = sad < best
         return jnp.where(upd, sad, best), jnp.where(upd, d, best_d)
 
