@@ -10,8 +10,9 @@ cost volume in HBM:
   both (pre-padded) images HBM→VMEM,
 * a ``fori_loop`` over disparities rotates the right slab along lanes
   (``tpu.dynamic_rotate``) and reduces the abs-diff slab with separable
-  shifted-add box sums — 2·(2r+1) vector adds per disparity, the
-  O(1)-per-pixel formulation instead of the reference's O(w²) loop,
+  doubling sliding-window sums — ~2·log₂(2r+1) shifted adds per axis per
+  disparity (5 for 11-wide windows) instead of the reference's O(w²)
+  per-pixel loop,
 * a running (min, argmin) pair is kept in registers; ties resolve to the
   smallest d, matching the reference's strict ``<`` update,
 * columns ``x < d`` cost 255 per pixel, matching the reference's
