@@ -60,6 +60,14 @@ def _filter_wta_median_jit(cost_nodes, plan, shape_hw):
     return median_filter_u8(disp.astype(jnp.uint8), 3)
 
 
+@functools.partial(jax.jit, static_argnums=(3,))
+def _st1_device_jit(left_bgr, right_bgr, plan, num_disp):
+    # Single dispatch: cost volume → tree filter → WTA → median.
+    cost = color_gradient_cost_volume(left_bgr, right_bgr, num_disp)
+    d, h, w = cost.shape
+    return _filter_wta_median_jit.__wrapped__(_to_nodes(cost), plan, (h, w))
+
+
 def _to_nodes(cost: jnp.ndarray) -> jnp.ndarray:
     d, h, w = cost.shape
     return jnp.moveaxis(cost, 0, -1).reshape(h * w, d)
@@ -91,12 +99,26 @@ def st1_disparity(
     right_bgr: np.ndarray,
     config: SegmentTreeConfig = SegmentTreeConfig(),
 ) -> np.ndarray:
-    """ST-1 scaled disparity of a BGR uint8 pair → (H, W) uint8."""
+    """ST-1 scaled disparity of a BGR uint8 pair → (H, W) uint8.
+
+    One host round trip (edge weights for the tree build) plus one fused
+    device dispatch (cost → heavy-path filter → WTA → median).
+    """
     check_bgr_pair(left_bgr, right_bgr, config.max_disp_levels, "st1")
-    cost = _cost_volume_jit(
-        jnp.asarray(left_bgr), jnp.asarray(right_bgr), config.max_disp_levels
+    h, w = left_bgr.shape[:2]
+    weights = color_edge_weights(left_bgr)
+    tree = build_segment_tree(
+        weights, h, w,
+        tau=config.tau, min_size=config.min_size_seg,
+        penalty=config.penalty_cross_seg, weight_scale=1.0,
     )
-    disp = _aggregate_select(cost, left_bgr, config.sigma, config)
+    plan = HeavyPathPlan.from_tree(tree, config.sigma)
+    disp = np.asarray(
+        _st1_device_jit(
+            jnp.asarray(left_bgr), jnp.asarray(right_bgr), plan,
+            config.max_disp_levels,
+        )
+    )
     return _scale_u8(disp, config.disparity_scale)
 
 

@@ -1,6 +1,7 @@
 """Pallas kernels in interpreter mode vs. the XLA ops path and oracles."""
 
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
@@ -54,3 +55,18 @@ def test_fused_batched_interpret(rng):
     for b in range(2):
         want = _oracle_disparity(left[b], right[b], 8, 2)
         np.testing.assert_array_equal(got[b], want)
+
+
+@pytest.mark.parametrize("shape_d_r", [((9, 130), 4, 1), ((40, 64), 16, 3), ((16, 257), 12, 4)])
+def test_fused_property_sweep(rng, shape_d_r):
+    (h, w), num_d, radius = shape_d_r
+    left = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    right = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    got = np.asarray(
+        fused_block_matching(
+            jnp.asarray(left), jnp.asarray(right),
+            num_disparities=num_d, radius=radius, tile_h=8, interpret=True,
+        )
+    )
+    want = _oracle_disparity(left, right, num_d, radius)
+    np.testing.assert_array_equal(got, want)
