@@ -48,8 +48,7 @@ _cost_volume_jit = jax.jit(color_gradient_cost_volume, static_argnums=(2,))
 _right_from_left_jit = jax.jit(right_cost_from_left)
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
-def _filter_wta_median_jit(cost_nodes, plan, shape_hw):
+def _filter_wta_median(cost_nodes, plan, shape_hw):
     # cost_nodes: (N, D); returns median-filtered uint8 disparity (H, W).
     h, w = shape_hw
     if isinstance(plan, HeavyPathPlan):
@@ -60,12 +59,17 @@ def _filter_wta_median_jit(cost_nodes, plan, shape_hw):
     return median_filter_u8(disp.astype(jnp.uint8), 3)
 
 
-@functools.partial(jax.jit, static_argnums=(3,))
-def _st1_device_jit(left_bgr, right_bgr, plan, num_disp):
+_filter_wta_median_jit = jax.jit(_filter_wta_median, static_argnums=(2,))
+
+
+def _st1_device(left_bgr, right_bgr, plan, num_disp):
     # Single dispatch: cost volume → tree filter → WTA → median.
     cost = color_gradient_cost_volume(left_bgr, right_bgr, num_disp)
     d, h, w = cost.shape
-    return _filter_wta_median_jit.__wrapped__(_to_nodes(cost), plan, (h, w))
+    return _filter_wta_median(_to_nodes(cost), plan, (h, w))
+
+
+_st1_device_jit = jax.jit(_st1_device, static_argnums=(3,))
 
 
 def _to_nodes(cost: jnp.ndarray) -> jnp.ndarray:
