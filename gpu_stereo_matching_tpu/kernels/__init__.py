@@ -1,1 +1,5 @@
-from gpu_stereo_matching_tpu.kernels.sad_wta import fused_block_matching  # noqa: F401
+from gpu_stereo_matching_tpu.kernels.sad_wta import (  # noqa: F401
+    fused_block_matching,
+    fused_block_matching_batched,
+    fused_block_matching_key,
+)
