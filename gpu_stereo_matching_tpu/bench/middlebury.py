@@ -71,6 +71,9 @@ def evaluate_scene(
         cfg = dataclasses.replace(st_config, iterate=(pipeline == "st2"))
         disp = segment_tree_disparity(scene.left_bgr, scene.right_bgr, cfg)
         disp_scale = float(cfg.disparity_scale)
+    elif pipeline in ("opencv-bm", "opencv-sgbm"):
+        disp = _opencv_baseline(scene, pipeline, bm_config.num_disparities)
+        disp_scale = 1.0
     else:
         raise ValueError(f"unknown pipeline {pipeline!r}")
     seconds = time.perf_counter() - t0
@@ -90,6 +93,28 @@ def evaluate_scene(
         scene=scene.name, pipeline=pipeline, bad2=bad2,
         bad2_nonocc=bad2_nonocc, seconds=seconds,
     )
+
+
+def _opencv_baseline(scene: MiddleburyScene, pipeline: str, num_disp: int):
+    """External OpenCV baselines — the reference's own comparison pattern
+    (``BM_SBM`` wrapping ``cv::StereoBM``, ``Utility.cpp:67-95``). Never on
+    the product path; requires cv2 at call time."""
+    import cv2
+
+    nd = ((num_disp + 15) // 16) * 16
+    if pipeline == "opencv-bm":
+        gl = cv2.cvtColor(scene.left_bgr, cv2.COLOR_BGR2GRAY)
+        gr = cv2.cvtColor(scene.right_bgr, cv2.COLOR_BGR2GRAY)
+        matcher = cv2.StereoBM_create(numDisparities=nd, blockSize=9)
+        disp = matcher.compute(gl, gr)
+    else:
+        matcher = cv2.StereoSGBM_create(
+            minDisparity=0, numDisparities=nd, blockSize=5,
+            P1=8 * 3 * 25, P2=32 * 3 * 25,
+            uniquenessRatio=10, speckleWindowSize=100, speckleRange=2,
+        )
+        disp = matcher.compute(scene.left_bgr, scene.right_bgr)
+    return np.maximum(disp.astype(np.float64) / 16.0, 0.0)
 
 
 def run_middlebury_suite(
