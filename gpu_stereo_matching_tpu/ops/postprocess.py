@@ -43,7 +43,12 @@ def lr_consistency_mask(
     return (dl > 0) & in_range & consistent
 
 
-def median_filter_u8(x: jnp.ndarray, radius: int, method: str = "auto") -> jnp.ndarray:
+def median_filter_u8(
+    x: jnp.ndarray,
+    radius: int,
+    method: str = "auto",
+    valid_mask: "jnp.ndarray | None" = None,
+) -> jnp.ndarray:
     """Median of clipped (2r+1)² windows of a (..., H, W) uint8 image → uint8.
 
     ``method``: ``"sort"`` stacks and sorts the (2r+1)² shifted window
@@ -52,16 +57,24 @@ def median_filter_u8(x: jnp.ndarray, radius: int, method: str = "auto") -> jnp.n
     running rank comparison, O(1) memory in the window size and O(1) work
     per pixel w.r.t. radius (best for large windows); ``"auto"`` picks by
     window area.
+
+    ``valid_mask`` (optional, (H, W) bool) marks pixels that exist; invalid
+    pixels are excluded from every window exactly like out-of-image pixels
+    (used by spatial shards whose halo rows extend past the global image).
     """
     if radius <= 0:
         return x
     if method == "auto":
         method = "sort" if (2 * radius + 1) ** 2 <= 49 else "histogram"
     if method == "histogram":
+        if valid_mask is not None:
+            raise NotImplementedError("valid_mask requires the sort method")
         return _median_u8_histogram(x, radius)
     h, w = x.shape[-2], x.shape[-1]
     k = 2 * radius + 1
     xi = x.astype(jnp.int16)
+    if valid_mask is not None:
+        xi = jnp.where(valid_mask, xi, _SENTINEL)
     # Stack all k² shifted copies along a new leading window axis, padding
     # out-of-bounds with a sentinel so clipped windows sort it last.
     pad = [(0, 0)] * (x.ndim - 2) + [(radius, radius), (radius, radius)]
@@ -71,7 +84,12 @@ def median_filter_u8(x: jnp.ndarray, radius: int, method: str = "auto") -> jnp.n
     ]
     stack = jnp.stack(windows, axis=0)  # (k², ..., H, W)
     stack = jnp.sort(stack, axis=0)
-    n = window_counts((h, w), radius)  # (H, W)
+    if valid_mask is None:
+        n = window_counts((h, w), radius)  # (H, W)
+    else:
+        from gpu_stereo_matching_tpu.ops.aggregate import box_filter_sum
+
+        n = box_filter_sum(valid_mask.astype(jnp.int32), radius)
     rank = (n // 2).astype(jnp.int32)  # index of the (n//2 + 1)-th smallest
     rank = jnp.broadcast_to(rank, stack.shape[1:])[None]
     med = jnp.take_along_axis(stack, rank, axis=0)[0]

@@ -66,3 +66,25 @@ def test_sharded_pallas_kernel_matches(rng, mesh_shape):
     got = np.asarray(step(jl, jr))
     want = np.asarray(block_matching_pipeline(jnp.asarray(left), jnp.asarray(right), cfg))
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("mesh_shape", [(1, 1, 1), (1, 4, 1), (2, 2, 2), (1, 2, 4)])
+def test_sharded_full_pipeline_matches(rng, mesh_shape):
+    from gpu_stereo_matching_tpu.parallel.stereo import (
+        make_sharded_block_matching_full,
+    )
+
+    data, space, disp = mesh_shape
+    cfg = BlockMatchingConfig(
+        num_disparities=8, sad_radius=2, lr_consistency=True, median_radius=2
+    )
+    b, h, w = 2, 24, 20
+    left = rng.integers(0, 256, size=(b, h, w), dtype=np.uint8)
+    right = rng.integers(0, 256, size=(b, h, w), dtype=np.uint8)
+
+    mesh = build_mesh(MeshConfig(data=data, space=space, disp=disp))
+    step = make_sharded_block_matching_full(mesh, cfg)
+    jl, jr = shard_batch(mesh, jnp.asarray(left), jnp.asarray(right))
+    got = np.asarray(step(jl, jr))
+    want = np.asarray(block_matching_pipeline(jnp.asarray(left), jnp.asarray(right), cfg))
+    np.testing.assert_array_equal(got, want)
