@@ -70,3 +70,25 @@ def test_fused_property_sweep(rng, shape_d_r):
     )
     want = _oracle_disparity(left, right, num_d, radius)
     np.testing.assert_array_equal(got, want)
+
+
+def test_fused_key_kernel_partial_ranges(rng):
+    from gpu_stereo_matching_tpu.kernels.sad_wta import fused_block_matching_key
+
+    left = rng.integers(0, 256, size=(14, 20), dtype=np.uint8)
+    right = rng.integers(0, 256, size=(14, 20), dtype=np.uint8)
+    num_d, radius = 8, 2
+    vol = oracles.ad_cost_volume_oracle(left, right, num_d)
+    sad = oracles.box_sum_oracle(vol, radius)
+    keys_parts = []
+    for d0, count in [(0, 4), (4, 4)]:
+        keys = np.asarray(
+            fused_block_matching_key(
+                jnp.asarray(left), jnp.asarray(right), d0, count, num_d,
+                radius, tile_h=8, interpret=True,
+            )
+        )
+        keys_parts.append(keys)
+    combined = np.minimum(*keys_parts)
+    want_disp = oracles.wta_oracle(sad)
+    np.testing.assert_array_equal(combined % num_d, want_disp)
