@@ -97,3 +97,40 @@ def test_st1_tiled_two_bands_runs(rng):
     cfg = SegmentTreeConfig(max_disp_levels=5, tau=90.0, min_size_seg=5)
     disp = st1_disparity_tiled(left, right, 2, cfg)
     assert disp.shape == (14, 16)
+
+
+def test_video_pipeline_matches_per_frame(rng):
+    from gpu_stereo_matching_tpu.models.segment_tree_stream import (
+        SegmentTreeVideoPipeline,
+    )
+
+    cfg = SegmentTreeConfig(max_disp_levels=5, tau=90.0, min_size_seg=5)
+    frames = [
+        (
+            rng.integers(0, 256, size=(10, 14, 3), dtype=np.uint8),
+            rng.integers(0, 256, size=(10, 14, 3), dtype=np.uint8),
+        )
+        for _ in range(4)
+    ]
+    pipe = SegmentTreeVideoPipeline(cfg)
+    got = list(pipe.process(iter(frames)))
+    assert len(got) == 4
+    for (l, r), d in zip(frames, got):
+        want = st1_disparity(l, r, cfg)
+        np.testing.assert_array_equal(d, want)
+
+
+def test_video_pipeline_empty_and_single(rng):
+    from gpu_stereo_matching_tpu.models.segment_tree_stream import (
+        SegmentTreeVideoPipeline,
+    )
+
+    cfg = SegmentTreeConfig(max_disp_levels=4, tau=90.0, min_size_seg=5)
+    pipe = SegmentTreeVideoPipeline(cfg)
+    assert list(pipe.process(iter([]))) == []
+    pair = (
+        rng.integers(0, 256, size=(8, 12, 3), dtype=np.uint8),
+        rng.integers(0, 256, size=(8, 12, 3), dtype=np.uint8),
+    )
+    out = list(pipe.process(iter([pair])))
+    assert len(out) == 1 and out[0].shape == (8, 12)
