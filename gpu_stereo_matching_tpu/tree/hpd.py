@@ -43,6 +43,10 @@ import numpy as np
 from gpu_stereo_matching_tpu.tree.builder import SegmentTree
 
 
+# Per-process registry of converged round layouts, keyed by (N, rounds).
+_LAYOUT_REGISTRY: dict = {}
+
+
 @dataclasses.dataclass(frozen=True)
 class _Round:
     """Static per-round sizes: L path nodes, H heads, M light children."""
@@ -129,11 +133,58 @@ class HeavyPathPlan:
             light_round[light_order], np.arange(n_rounds + 1)
         )
 
+        # Pad every per-round size up to a power of two and the round count
+        # to a power of two, then fit the result into a per-process layout
+        # registry (elementwise-max, keyed by image size): the static
+        # layout — and therefore the jit compilation — converges to one
+        # shared shape across frames whose trees differ only in detail.
+        # Per-frame trees would otherwise force a recompile per frame.
+        # Padding is semantically inert: dummy path nodes have A=0 and
+        # write into the scratch slot N; dummy light/head entries carry
+        # zero weights and point at the padded tail.
+        def _pow2(x: int) -> int:
+            return 1 << max(int(np.ceil(np.log2(max(x, 1)))), 0)
+
+        padded_rounds = _pow2(n_rounds)
+        needed = []
+        per_round_data = []
+        for t in range(padded_rounds):
+            if t < n_rounds:
+                s, e = round_starts[t], round_starts[t + 1]
+                concat = sorted_nodes[s:e]
+                is_head = is_head_all[s:e]
+                lc = lights_sorted[light_starts[t] : light_starts[t + 1]]
+            else:
+                concat = np.zeros(0, np.int64)
+                is_head = np.zeros(0, bool)
+                lc = np.zeros(0, np.int64)
+            per_round_data.append((concat, is_head, lc))
+            needed.append(
+                (_pow2(len(concat) + 1), _pow2(max(len(np.where(is_head)[0]), 1)),
+                 _pow2(max(len(lc), 1)))
+            )
+
+        reg_key = (n, padded_rounds)
+        caps = _LAYOUT_REGISTRY.get(reg_key)
+        if caps is None or any(
+            any(nd > c for nd, c in zip(row, cap_row))
+            for row, cap_row in zip(needed, caps)
+        ):
+            caps = (
+                needed
+                if caps is None
+                else [
+                    tuple(max(nd, c) for nd, c in zip(row, cap_row))
+                    for row, cap_row in zip(needed, caps)
+                ]
+            )
+            _LAYOUT_REGISTRY[reg_key] = caps
+
         ints_parts, float_parts, metas = [], [], []
-        for t in range(n_rounds):
-            s, e = round_starts[t], round_starts[t + 1]
-            concat = sorted_nodes[s:e]
-            is_head = is_head_all[s:e]
+        for t in range(padded_rounds):
+            concat, is_head, lc = per_round_data[t]
+            l_pad, h_pad, m_pad = caps[t]
+
             hv = heavy[concat]
             heavy_a = np.where(hv >= 0, weights[np.maximum(hv, 0)], 0.0)
             parent_a = weights[concat].copy()
@@ -141,12 +192,28 @@ class HeavyPathPlan:
             head_pos = np.where(is_head)[0]
             head_nodes = concat[head_pos]
             head_parent = np.where(head_nodes == 0, n, parent[head_nodes])
-            lc = lights_sorted[light_starts[t] : light_starts[t + 1]]
             light_parent_pos = pos_of[parent[lc]]
 
-            metas.append(_Round(len(concat), len(head_pos), len(lc)))
+            pad_l = l_pad - len(concat)
+            concat = np.concatenate([concat, np.full(pad_l, n)])
+            heavy_a = np.concatenate([heavy_a, np.zeros(pad_l)])
+            parent_a = np.concatenate([parent_a, np.zeros(pad_l)])
+            # Dummy heads/lights target the padded tail of this round.
+            dummy_pos = l_pad - 1
+            pad_h = h_pad - len(head_pos)
+            head_pos = np.concatenate([head_pos, np.full(pad_h, dummy_pos)])
+            head_parent = np.concatenate([head_parent, np.full(pad_h, n)])
+            pad_m = m_pad - len(lc)
+            lc = np.concatenate([lc, np.full(pad_m, n)])
+            light_parent_pos = np.concatenate(
+                [light_parent_pos, np.full(pad_m, dummy_pos)]
+            )
+            light_w = np.concatenate([weights[lc[: m_pad - pad_m].astype(np.int64)],
+                                      np.zeros(pad_m)])
+
+            metas.append(_Round(l_pad, h_pad, m_pad))
             ints_parts += [concat, head_pos, head_parent, lc, light_parent_pos]
-            float_parts += [heavy_a, parent_a, weights[lc]]
+            float_parts += [heavy_a, parent_a, light_w]
 
         ints = np.concatenate(ints_parts) if ints_parts else np.zeros(0)
         floats = np.concatenate(float_parts) if float_parts else np.zeros(0)
