@@ -43,8 +43,63 @@ import numpy as np
 from gpu_stereo_matching_tpu.tree.builder import SegmentTree
 
 
-# Per-process registry of converged round layouts, keyed by (N, rounds).
+# Registry of converged round layouts, keyed by (N, rounds). Persisted to
+# disk so fresh processes reuse converged layouts (and therefore hit the
+# persistent XLA compilation cache) instead of re-converging.
 _LAYOUT_REGISTRY: dict = {}
+_REGISTRY_PATH = None
+_REGISTRY_LOADED = False
+
+
+def _registry_file():
+    import os
+
+    global _REGISTRY_PATH
+    if _REGISTRY_PATH is None:
+        _REGISTRY_PATH = os.path.join(
+            os.path.expanduser("~"), ".cache", "gpu_stereo_matching_tpu",
+            "hpd_layouts.json",
+        )
+    return _REGISTRY_PATH
+
+
+def _registry_load():
+    global _REGISTRY_LOADED
+    if _REGISTRY_LOADED:
+        return
+    _REGISTRY_LOADED = True
+    import json
+    import os
+
+    path = _registry_file()
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                raw = json.load(f)
+            for key, caps in raw.items():
+                n_str, r_str = key.split(":")
+                _LAYOUT_REGISTRY[(int(n_str), int(r_str))] = [
+                    tuple(row) for row in caps
+                ]
+        except Exception:
+            pass  # corrupt cache: start fresh
+
+
+def _registry_save():
+    import json
+    import os
+
+    path = _registry_file()
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        raw = {f"{k[0]}:{k[1]}": [list(row) for row in v]
+               for k, v in _LAYOUT_REGISTRY.items()}
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(raw, f)
+        os.replace(tmp, path)
+    except Exception:
+        pass  # cache is best-effort
 
 
 @dataclasses.dataclass(frozen=True)
@@ -164,6 +219,7 @@ class HeavyPathPlan:
                  _pow2(max(len(lc), 1)))
             )
 
+        _registry_load()
         reg_key = (n, padded_rounds)
         caps = _LAYOUT_REGISTRY.get(reg_key)
         if caps is None or any(
@@ -179,6 +235,7 @@ class HeavyPathPlan:
                 ]
             )
             _LAYOUT_REGISTRY[reg_key] = caps
+            _registry_save()
 
         ints_parts, float_parts, metas = [], [], []
         for t in range(padded_rounds):
