@@ -51,13 +51,38 @@ class StereoRig:
         )
         self._maps = tuple(jnp.asarray(m) for m in (lmx, lmy, rmx, rmy))
 
+        # Pallas sweep-plan remap (kernels/remap.py) when the maps fit its
+        # bounded-offset form; XLA gather fallback otherwise.
+        from gpu_stereo_matching_tpu.kernels.remap import (
+            build_remap_plan,
+            remap_bilinear_u8_planned,
+        )
+
+        self._remap_plans = (
+            (
+                build_remap_plan(lmx, lmy, image_size_hw),
+                build_remap_plan(rmx, rmy, image_size_hw),
+            )
+            if use_pallas
+            else (None, None)
+        )
+
         num_d, radius = config.num_disparities, config.sad_radius
+        lplan, rplan = self._remap_plans
 
         def frame_step(left_bgr, right_bgr, lmx, lmy, rmx, rmy):
             gl = gray_blockmatching_bgr(left_bgr)
             gr = gray_blockmatching_bgr(right_bgr)
-            rl = remap_bilinear_u8(gl, lmx, lmy)
-            rr = remap_bilinear_u8(gr, rmx, rmy)
+            rl = (
+                remap_bilinear_u8_planned(gl, lplan)
+                if lplan is not None
+                else remap_bilinear_u8(gl, lmx, lmy)
+            )
+            rr = (
+                remap_bilinear_u8_planned(gr, rplan)
+                if rplan is not None
+                else remap_bilinear_u8(gr, rmx, rmy)
+            )
             if use_pallas:
                 return fused_block_matching(rl, rr, num_d, radius)
             from gpu_stereo_matching_tpu.models.block_matching import (
@@ -105,10 +130,13 @@ def rig_from_yaml(
 
     calib = load_opencv_stereo_yaml(path)
     if scale_intrinsics_from is not None:
-        s = image_size_hw[0] / scale_intrinsics_from[0]
+        sy = image_size_hw[0] / scale_intrinsics_from[0]
+        sx = image_size_hw[1] / scale_intrinsics_from[1]
         k1 = calib.left_intrinsics.copy()
         k2 = calib.right_intrinsics.copy()
-        k1[:2] *= s
-        k2[:2] *= s
+        k1[0] *= sx
+        k1[1] *= sy
+        k2[0] *= sx
+        k2[1] *= sy
         calib = dc.replace(calib, left_intrinsics=k1, right_intrinsics=k2)
     return StereoRig(calib, image_size_hw, config)

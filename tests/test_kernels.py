@@ -72,6 +72,93 @@ def test_fused_property_sweep(rng, shape_d_r):
     np.testing.assert_array_equal(got, want)
 
 
+def test_packed_pair_gate():
+    from gpu_stereo_matching_tpu.kernels.sad_wta import _packed_pair_supported
+
+    assert _packed_pair_supported(64, 5)          # reference default config
+    assert not _packed_pair_supported(63, 5)      # odd count -> legacy
+    assert not _packed_pair_supported(64, 6)      # 255*13*13 >= 2^15 overflow
+    assert not _packed_pair_supported(64, 0)      # no window -> legacy
+    assert not _packed_pair_supported(512, 3)     # d needs 8 bits in the key
+
+
+@pytest.mark.parametrize("num_d,radius", [(7, 2), (8, 6)])
+def test_fused_legacy_fallback_paths(rng, num_d, radius):
+    """Odd counts / large radii take the unpacked kernel; still exact."""
+    left = rng.integers(0, 256, size=(24, 40), dtype=np.uint8)
+    right = rng.integers(0, 256, size=(24, 40), dtype=np.uint8)
+    got = np.asarray(
+        fused_block_matching(
+            jnp.asarray(left), jnp.asarray(right),
+            num_disparities=num_d, radius=radius, tile_h=8, interpret=True,
+        )
+    )
+    want = _oracle_disparity(left, right, num_d, radius)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_packed_pair_matches_legacy_kernel(rng):
+    """The packed-pair and unpacked kernels agree bit-for-bit.
+
+    Runs the unpacked kernel directly (bypassing the dispatch gate) against
+    the public path, which takes the packed kernel for this config.
+    """
+    import functools
+
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gpu_stereo_matching_tpu.kernels import sad_wta
+
+    h, w, num_d, radius, tile_h = 26, 150, 16, 5, 8
+    left = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    right = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    assert sad_wta._packed_pair_supported(num_d, radius)
+    packed = np.asarray(
+        fused_block_matching(
+            jnp.asarray(left), jnp.asarray(right),
+            num_disparities=num_d, radius=radius, tile_h=tile_h,
+            interpret=True,
+        )
+    )
+
+    r = radius
+    num_tiles = -(-h // tile_h)
+    hp = num_tiles * tile_h
+    slab_rows = -(-(tile_h + 2 * r) // 8) * 8
+    total_rows = max((num_tiles - 1) * tile_h + slab_rows, hp + 2 * r)
+    wp = -(-w // 128) * 128
+    left_p = jnp.zeros((total_rows, wp), jnp.uint8)
+    left_p = jax.lax.dynamic_update_slice(left_p, jnp.asarray(left), (r, 0))
+    right_p = jnp.zeros((total_rows, wp), jnp.uint8)
+    right_p = jax.lax.dynamic_update_slice(right_p, jnp.asarray(right), (r, 0))
+    kernel = functools.partial(
+        sad_wta._kernel,
+        num_disparities=num_d, radius=r, tile_h=tile_h,
+        true_width=w, invalid_cost=255,
+    )
+    legacy = pl.pallas_call(
+        kernel,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile_h, wp), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((slab_rows, wp), jnp.uint8),
+            pltpu.VMEM((slab_rows, wp), jnp.uint8),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=True,
+    )(left_p, right_p)
+    np.testing.assert_array_equal(packed, np.asarray(legacy)[:h, :w])
+
+
 def test_fused_key_kernel_partial_ranges(rng):
     from gpu_stereo_matching_tpu.kernels.sad_wta import fused_block_matching_key
 
@@ -81,7 +168,9 @@ def test_fused_key_kernel_partial_ranges(rng):
     vol = oracles.ad_cost_volume_oracle(left, right, num_d)
     sad = oracles.box_sum_oracle(vol, radius)
     keys_parts = []
-    for d0, count in [(0, 4), (4, 4)]:
+    # (0,4)/(4,4) take the packed-pair kernel; (0,3)/(3,5)... odd counts
+    # take the legacy kernel — both splits must reduce to the same WTA.
+    for d0, count in [(0, 4), (4, 4), (0, 3), (3, 5)]:
         keys = np.asarray(
             fused_block_matching_key(
                 jnp.asarray(left), jnp.asarray(right), d0, count, num_d,
@@ -89,6 +178,6 @@ def test_fused_key_kernel_partial_ranges(rng):
             )
         )
         keys_parts.append(keys)
-    combined = np.minimum(*keys_parts)
+    combined = np.minimum.reduce(keys_parts)
     want_disp = oracles.wta_oracle(sad)
     np.testing.assert_array_equal(combined % num_d, want_disp)
