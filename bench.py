@@ -23,7 +23,9 @@ def main():
     from gpu_stereo_matching_tpu.kernels.sad_wta import fused_block_matching
 
     rng = np.random.default_rng(0)
-    b, h, w, d, r = 16, 1080, 1920, 64, 5
+    # 32-frame on-device scan: ~0.5 s of 60 fps video per dispatch,
+    # amortizing the tunnel's fixed per-dispatch round-trip latency.
+    b, h, w, d, r = 32, 1080, 1920, 64, 5
     left = jnp.asarray(rng.integers(0, 256, (b, h, w), dtype=np.uint8))
     right = jnp.asarray(rng.integers(0, 256, (b, h, w), dtype=np.uint8))
 

@@ -1,0 +1,74 @@
+"""Segment-tree (ST-1) streaming-video throughput.
+
+Per-frame trees differ (jittered frames), so this exercises the full
+pipelined path: C++ host build (weights → FH spanning tree → HPD plan)
+overlapped with the device's fused cost→filter→WTA→median dispatch, with
+registry-converged plan layouts keeping one compiled executable across
+frames. Reports the median steady-state frame time (first frames are
+excluded: they may pay one-time compiles).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def run_st_streaming_benchmark(
+    root: str = "/root/reference/Images",
+    scene_name: str = "Art",
+    num_frames: int = 12,
+    warm_frames: int = 3,
+) -> float:
+    from gpu_stereo_matching_tpu.core.config import SegmentTreeConfig
+    from gpu_stereo_matching_tpu.io.middlebury import load_middlebury_scene
+    from gpu_stereo_matching_tpu.models.segment_tree_stream import (
+        SegmentTreeVideoPipeline,
+    )
+
+    scene = load_middlebury_scene(root, scene_name)
+    left = np.asarray(scene.left_bgr if hasattr(scene, "left_bgr") else scene.left)
+    right = np.asarray(
+        scene.right_bgr if hasattr(scene, "right_bgr") else scene.right
+    )
+    rng = np.random.default_rng(0)
+
+    def jitter(img):
+        noise = rng.integers(-6, 7, img.shape, dtype=np.int16)
+        return np.clip(img.astype(np.int16) + noise, 0, 255).astype(np.uint8)
+
+    frames = [(jitter(left), jitter(right)) for _ in range(num_frames)]
+
+    pipe = SegmentTreeVideoPipeline(SegmentTreeConfig())
+    # Warm pass: converge plan layouts + compile.
+    for _ in pipe.process(frames[:warm_frames]):
+        pass
+
+    times = []
+    last = time.perf_counter()
+    for _ in pipe.process(frames):
+        now = time.perf_counter()
+        times.append(now - last)
+        last = now
+    # Median over the steady tail (drop the pipeline's fill frames and any
+    # one-time compile outlier).
+    steady = sorted(times[2:])
+    med = steady[len(steady) // 2]
+    fps = 1.0 / med
+    h, w = left.shape[:2]
+    print(
+        json.dumps(
+            {
+                "metric": f"st1_streaming_{h}x{w}_fps_per_chip",
+                "value": round(fps, 2),
+                "unit": "frames/sec/chip",
+            }
+        )
+    )
+    return fps
+
+
+if __name__ == "__main__":
+    run_st_streaming_benchmark()

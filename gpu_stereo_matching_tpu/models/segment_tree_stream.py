@@ -1,19 +1,19 @@
 """Pipelined segment-tree video processing.
 
-Per-frame ST-1 has a host stage (C++ spanning-tree build + heavy-path plan,
-~125 ms at Middlebury size) and a device stage (cost → tree filter → WTA →
-median, one fused dispatch). Sequentially they serialize; this pipeline
-overlaps them — the software-pipelining analog of the reference's absent
-streaming mode (SURVEY §2.5 "PP analog"):
+Per-frame ST-1 has a host stage (C++ weights/median → FH spanning tree →
+HPD plan, ~65 ms at Middlebury size since the native providers and plan
+core landed) and a device stage (cost → tree filter → WTA → median, one
+fused dispatch). Sequentially they serialize; this pipeline overlaps
+them — the software-pipelining analog of the reference's absent streaming
+mode (SURVEY §2.5 "PP analog"):
 
-    stage A (device, async): presmooth frame i+1 for edge weights
-    stage B (host):          build tree + plan for frame i+1
-    stage C (device, async): fused disparity dispatch for frame i
-    stage D (host):          fetch disparity i-1
+    stage A (host):          build weights + tree + plan for frame i+1
+    stage B (device, async): fused disparity dispatch for frame i
+    stage C (host):          fetch disparity i-1
 
 JAX's async dispatch provides the concurrency — the host builds frame
-i+1's tree while the device crunches frame i, because frame i+1's
-presmooth was queued *before* frame i's big dispatch.
+i+1's tree while the device crunches frame i, because frame i's dispatch
+was queued before the build starts.
 """
 
 from __future__ import annotations

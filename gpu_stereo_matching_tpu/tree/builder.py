@@ -63,6 +63,35 @@ def _lib() -> ctypes.CDLL:
             ctypes.c_float, ctypes.c_int32, ctypes.c_float, ctypes.c_float,
             i32p, i32p, i32p, i32p, i32p, i32p, i32p, ctypes.c_int32,
         ]
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        lib.gsm_median3x3.restype = None
+        lib.gsm_median3x3.argtypes = [
+            u8p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, u8p,
+        ]
+        lib.gsm_color_weights.restype = None
+        lib.gsm_color_weights.argtypes = [
+            u8p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, f32p,
+        ]
+        lib.gsm_color_depth_weights.restype = None
+        lib.gsm_color_depth_weights.argtypes = [
+            u8p, f32p, u8p, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_float, ctypes.c_int32, f32p,
+        ]
+        lib.gsm_hpd_plan_new.restype = ctypes.c_void_p
+        lib.gsm_hpd_plan_new.argtypes = [
+            ctypes.c_int32, i32p, i32p, i32p, i32p, f32p,
+        ]
+        lib.gsm_hpd_plan_free.restype = None
+        lib.gsm_hpd_plan_free.argtypes = [ctypes.c_void_p]
+        lib.gsm_hpd_plan_rounds.restype = ctypes.c_int32
+        lib.gsm_hpd_plan_rounds.argtypes = [ctypes.c_void_p]
+        lib.gsm_hpd_plan_sizes.restype = None
+        lib.gsm_hpd_plan_sizes.argtypes = [ctypes.c_void_p, i32p, i32p, i32p]
+        lib.gsm_hpd_plan_fill.restype = None
+        lib.gsm_hpd_plan_fill.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, i32p, i32p, i32p, i32p, f32p,
+        ]
         _LIB_CACHE = lib
     return _LIB_CACHE
 
@@ -201,10 +230,27 @@ def _presmooth_bgr(img_bgr: np.ndarray) -> np.ndarray:
     return np.moveaxis(sm, 0, -1)
 
 
-def color_edge_weights(img_bgr: np.ndarray, presmooth: bool = True) -> np.ndarray:
-    """Max-channel abs difference on the presmoothed image, canonical order."""
+def color_edge_weights(
+    img_bgr: np.ndarray, presmooth: bool = True, native: bool = True
+) -> np.ndarray:
+    """Max-channel abs difference on the presmoothed image, canonical order.
+
+    ``native=True`` runs the single-pass C++ provider (the streaming host
+    hot path); ``native=False`` keeps the NumPy/JAX composition as the
+    bit-exact oracle.
+    """
+    h, w, _ = img_bgr.shape
+    if native:
+        lib = _lib()
+        img = np.ascontiguousarray(img_bgr, dtype=np.uint8)
+        out = np.empty(lib.gsm_num_edges(h, w), np.float32)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.gsm_color_weights(
+            img.ctypes.data_as(u8p), h, w, int(presmooth),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        return out
     img = _presmooth_bgr(img_bgr) if presmooth else img_bgr
-    h, w, _ = img.shape
     ea, eb = grid_edges(h, w)
     flat = img.reshape(-1, 3).astype(np.int32)
     diff = np.abs(flat[ea] - flat[eb]).max(axis=1)
@@ -218,10 +264,28 @@ def color_depth_edge_weights(
     max_level: int,
     alpha: float = 0.5,
     presmooth: bool = True,
+    native: bool = True,
 ) -> np.ndarray:
     """ST-2 re-segmentation weights: color+depth where both ends are stable."""
+    h, w, _ = img_bgr.shape
+    if native:
+        lib = _lib()
+        img = np.ascontiguousarray(img_bgr, dtype=np.uint8)
+        disp = np.ascontiguousarray(disparity.reshape(-1), dtype=np.float32)
+        stab = np.ascontiguousarray(
+            stable_mask.reshape(-1).astype(np.uint8)
+        )
+        out = np.empty(lib.gsm_num_edges(h, w), np.float32)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        lib.gsm_color_depth_weights(
+            img.ctypes.data_as(u8p), disp.ctypes.data_as(f32p),
+            stab.ctypes.data_as(u8p), h, w,
+            int(max_level), float(alpha), int(presmooth),
+            out.ctypes.data_as(f32p),
+        )
+        return out
     img = _presmooth_bgr(img_bgr) if presmooth else img_bgr
-    h, w, _ = img.shape
     ea, eb = grid_edges(h, w)
     flat = img.reshape(-1, 3).astype(np.int32)
     color = np.abs(flat[ea] - flat[eb]).max(axis=1).astype(np.float32) / 255.0

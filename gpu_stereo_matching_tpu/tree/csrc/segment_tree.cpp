@@ -134,24 +134,78 @@ int32_t gsm_build_segment_tree(
   const int32_t n_nodes = height * width;
   const int32_t n_edges = gsm_num_edges(height, width);
 
+  // Edges sorted ascending by (w, b, a) — the reference's edge::operator<.
+  // Instead of a comparison sort, enumerate edges directly in (b, a) order
+  // (for endpoint b the only canonical edges are a = b-1, then a = b+width),
+  // then a stable distribution by weight: one counting pass for integral
+  // weights in [0, 255] (the color provider), a 4-pass LSD radix over the
+  // float bits otherwise (non-negative floats compare like their bits).
   std::vector<Edge> edges(n_edges);
   {
-    int32_t n = 0;
-    for (int32_t y = 0; y < height; ++y) {
-      for (int32_t x = 0; x < width; ++x) {
-        if (x < width - 1) {
-          edges[n] = {weights[n], y * width + x, y * width + x + 1};
-          ++n;
+    // Canonical edge index base per pixel (right edge first, then up).
+    std::vector<int32_t> off(n_nodes + 1);
+    off[0] = 0;
+    for (int32_t p = 0; p < n_nodes; ++p) {
+      int32_t x = p % width, y = p / width;
+      off[p + 1] = off[p] + (x < width - 1 ? 1 : 0) + (y >= 1 ? 1 : 0);
+    }
+    std::vector<Edge> by_ba;
+    by_ba.reserve(n_edges);
+    for (int32_t b = 0; b < n_nodes; ++b) {
+      if (b % width != 0) {
+        int32_t a = b - 1;  // a's right edge
+        by_ba.push_back({weights[off[a]], a, b});
+      }
+      if (b + width < n_nodes) {
+        int32_t a = b + width;  // a's up edge (after its right edge, if any)
+        by_ba.push_back({weights[off[a] + (a % width < width - 1 ? 1 : 0)], a, b});
+      }
+    }
+    bool integral = true;
+    for (int32_t i = 0; i < n_edges; ++i) {
+      float w = by_ba[i].w;
+      if (!(w >= 0.0f && w <= 255.0f && w == (float)(int32_t)w)) {
+        integral = false;
+        break;
+      }
+    }
+    if (integral) {
+      int32_t count[257] = {0};
+      for (const Edge& e : by_ba) ++count[(int32_t)e.w + 1];
+      for (int32_t i = 0; i < 256; ++i) count[i + 1] += count[i];
+      for (const Edge& e : by_ba) edges[count[(int32_t)e.w]++] = e;
+    } else {
+      bool nonneg = true;
+      for (const Edge& e : by_ba)
+        if (e.w < 0.0f) { nonneg = false; break; }
+      if (!nonneg) {
+        edges = std::move(by_ba);
+        std::stable_sort(edges.begin(), edges.end(),
+                         [](const Edge& x, const Edge& y) { return x.w < y.w; });
+      } else {
+        std::vector<Edge> tmp(n_edges);
+        Edge* src = by_ba.data();
+        Edge* dst = tmp.data();
+        for (int shift = 0; shift < 32; shift += 8) {
+          int32_t count[257] = {0};
+          for (int32_t i = 0; i < n_edges; ++i) {
+            uint32_t bits;
+            std::memcpy(&bits, &src[i].w, 4);
+            ++count[((bits >> shift) & 0xFF) + 1];
+          }
+          for (int32_t i = 0; i < 256; ++i) count[i + 1] += count[i];
+          for (int32_t i = 0; i < n_edges; ++i) {
+            uint32_t bits;
+            std::memcpy(&bits, &src[i].w, 4);
+            dst[count[(bits >> shift) & 0xFF]++] = src[i];
+          }
+          std::swap(src, dst);
         }
-        if (y >= 1) {
-          edges[n] = {weights[n], y * width + x, (y - 1) * width + x};
-          ++n;
-        }
+        // 4 passes (even count): result is back in by_ba's buffer.
+        edges.assign(src, src + n_edges);
       }
     }
   }
-
-  std::sort(edges.begin(), edges.end(), edge_less);
 
   DisjointSet ds(n_nodes);
   std::vector<uint8_t> selected(n_edges, 0);
@@ -260,6 +314,359 @@ int32_t gsm_build_segment_tree(
   }
 
   return n_levels;
+}
+
+// ---------------------------------------------------------------------------
+// Edge-weight providers (host hot path; semantics match tree/builder.py's
+// NumPy twins, which remain as test oracles).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+inline void mm(uint8_t& a, uint8_t& b) {  // compare-exchange
+  uint8_t lo = a < b ? a : b;
+  b = a < b ? b : a;
+  a = lo;
+}
+
+// Median of 9 via Paeth's 19-comparator network.
+inline uint8_t median9(uint8_t p0, uint8_t p1, uint8_t p2, uint8_t p3,
+                       uint8_t p4, uint8_t p5, uint8_t p6, uint8_t p7,
+                       uint8_t p8) {
+  mm(p1, p2); mm(p4, p5); mm(p7, p8);
+  mm(p0, p1); mm(p3, p4); mm(p6, p7);
+  mm(p1, p2); mm(p4, p5); mm(p7, p8);
+  mm(p0, p3); mm(p5, p8); mm(p4, p7);
+  mm(p3, p6); mm(p1, p4); mm(p2, p5);
+  mm(p4, p7); mm(p4, p2); mm(p6, p4);
+  mm(p4, p2);
+  return p4;
+}
+
+// Clipped-window 3x3 median of one channel plane, rank n/2 (0-based) of the
+// sorted window — the same median ops/postprocess.median_filter_u8 selects.
+// Interior pixels go through the median-of-9 network; border pixels use a
+// small insertion sort.
+void median3x3_channel(const uint8_t* src, int32_t h, int32_t w, int32_t stride,
+                       uint8_t* dst) {
+  auto slow = [&](int32_t y, int32_t x) {
+    uint8_t v[9];
+    int n = 0;
+    for (int32_t dy = -1; dy <= 1; ++dy) {
+      int32_t yy = y + dy;
+      if (yy < 0 || yy >= h) continue;
+      for (int32_t dx = -1; dx <= 1; ++dx) {
+        int32_t xx = x + dx;
+        if (xx < 0 || xx >= w) continue;
+        v[n++] = src[(yy * (int64_t)w + xx) * stride];
+      }
+    }
+    for (int i = 1; i < n; ++i) {
+      uint8_t key = v[i];
+      int j = i - 1;
+      while (j >= 0 && v[j] > key) {
+        v[j + 1] = v[j];
+        --j;
+      }
+      v[j + 1] = key;
+    }
+    dst[(y * (int64_t)w + x) * stride] = v[n / 2];
+  };
+  for (int32_t y = 0; y < h; ++y) {
+    if (y == 0 || y == h - 1 || w < 3 || h < 3) {
+      for (int32_t x = 0; x < w; ++x) slow(y, x);
+      continue;
+    }
+    slow(y, 0);
+    const uint8_t* r0 = src + ((y - 1) * (int64_t)w) * stride;
+    const uint8_t* r1 = src + (y * (int64_t)w) * stride;
+    const uint8_t* r2 = src + ((y + 1) * (int64_t)w) * stride;
+    uint8_t* drow = dst + (y * (int64_t)w) * stride;
+    for (int32_t x = 1; x < w - 1; ++x) {
+      int64_t xl = (int64_t)(x - 1) * stride;
+      int64_t xc = (int64_t)x * stride;
+      int64_t xr = (int64_t)(x + 1) * stride;
+      drow[xc] = median9(r0[xl], r0[xc], r0[xr], r1[xl], r1[xc], r1[xr],
+                         r2[xl], r2[xc], r2[xr]);
+    }
+    slow(y, w - 1);
+  }
+}
+
+}  // namespace
+
+// 3x3 clipped-window median per channel of an interleaved (H, W, C) u8
+// image (the reference's MeanFilter(img, img, 1) presmooth).
+void gsm_median3x3(const uint8_t* img, int32_t h, int32_t w, int32_t channels,
+                   uint8_t* out) {
+  for (int32_t c = 0; c < channels; ++c)
+    median3x3_channel(img + c, h, w, channels, out + c);
+}
+
+// Canonical-order color edge weights: max-channel abs difference of the
+// (optionally presmoothed) BGR image (SegmentTree.cpp:183-194).
+void gsm_color_weights(const uint8_t* img_bgr, int32_t h, int32_t w,
+                       int32_t presmooth, float* out) {
+  const uint8_t* img = img_bgr;
+  std::vector<uint8_t> sm;
+  if (presmooth) {
+    sm.resize((size_t)h * w * 3);
+    gsm_median3x3(img_bgr, h, w, 3, sm.data());
+    img = sm.data();
+  }
+  auto maxdiff = [&](int64_t a, int64_t b) -> float {
+    int d0 = std::abs((int)img[a * 3 + 0] - (int)img[b * 3 + 0]);
+    int d1 = std::abs((int)img[a * 3 + 1] - (int)img[b * 3 + 1]);
+    int d2 = std::abs((int)img[a * 3 + 2] - (int)img[b * 3 + 2]);
+    return (float)std::max(d0, std::max(d1, d2));
+  };
+  int32_t n = 0;
+  for (int32_t y = 0; y < h; ++y) {
+    for (int32_t x = 0; x < w; ++x) {
+      int64_t p = y * (int64_t)w + x;
+      if (x < w - 1) out[n++] = maxdiff(p, p + 1);
+      if (y >= 1) out[n++] = maxdiff(p, p - w);
+    }
+  }
+}
+
+// ST-2 re-segmentation weights (CColorDepthWeight, SegmentTree.cpp:196-219):
+// where both endpoints are stable, alpha*|dd|/max_level + (1-alpha)*color/255;
+// otherwise color/255.
+void gsm_color_depth_weights(const uint8_t* img_bgr, const float* disparity,
+                             const uint8_t* stable, int32_t h, int32_t w,
+                             int32_t max_level, float alpha, int32_t presmooth,
+                             float* out) {
+  const uint8_t* img = img_bgr;
+  std::vector<uint8_t> sm;
+  if (presmooth) {
+    sm.resize((size_t)h * w * 3);
+    gsm_median3x3(img_bgr, h, w, 3, sm.data());
+    img = sm.data();
+  }
+  auto weight = [&](int64_t a, int64_t b) -> float {
+    int d0 = std::abs((int)img[a * 3 + 0] - (int)img[b * 3 + 0]);
+    int d1 = std::abs((int)img[a * 3 + 1] - (int)img[b * 3 + 1]);
+    int d2 = std::abs((int)img[a * 3 + 2] - (int)img[b * 3 + 2]);
+    float color = (float)std::max(d0, std::max(d1, d2)) / 255.0f;
+    if (stable[a] && stable[b]) {
+      float dval = std::abs(disparity[a] - disparity[b]) / (float)max_level;
+      return alpha * dval + (1.0f - alpha) * color;
+    }
+    return color;
+  };
+  int32_t n = 0;
+  for (int32_t y = 0; y < h; ++y) {
+    for (int32_t x = 0; x < w; ++x) {
+      int64_t p = y * (int64_t)w + x;
+      if (x < w - 1) out[n++] = weight(p, p + 1);
+      if (y >= 1) out[n++] = weight(p, p - w);
+    }
+  }
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Heavy-path-decomposition plan core (host hot path; mirrors the NumPy
+// implementation in tree/hpd.py, which remains as the test oracle). Split
+// into a context object so Python can merge the per-round sizes into its
+// persisted layout registry between the size and fill phases.
+// ---------------------------------------------------------------------------
+
+struct GsmHpdPlan {
+  int32_t n = 0;
+  int32_t n_rounds = 0;
+  std::vector<int32_t> parent;
+  std::vector<float> weights;      // parent edge weight per node
+  std::vector<int32_t> heavy;      // heavy child per node (-1 none)
+  std::vector<int32_t> light_depth;
+  std::vector<int32_t> head_of;
+  std::vector<int32_t> sorted_nodes;   // by (round, head, depth)
+  std::vector<int32_t> round_starts;   // length n_rounds + 1
+  std::vector<int32_t> pos_of;         // position within round block
+  std::vector<int32_t> lights_sorted;  // light nodes by parent round
+  std::vector<int32_t> light_starts;   // length n_rounds + 1
+};
+
+extern "C" GsmHpdPlan* gsm_hpd_plan_new(int32_t n, const int32_t* parent,
+                                        const int32_t* level_of,
+                                        const int32_t* subtree_size,
+                                        const int32_t* bfs_order,
+                                        const float* parent_weights);
+extern "C" void gsm_hpd_plan_free(GsmHpdPlan* p);
+
+GsmHpdPlan* gsm_hpd_plan_new(int32_t n, const int32_t* parent,
+                             const int32_t* level_of,
+                             const int32_t* subtree_size,
+                             const int32_t* bfs_order,
+                             const float* parent_weights) {
+  auto* p = new GsmHpdPlan();
+  p->n = n;
+  p->parent.assign(parent, parent + n);
+  p->weights.assign(parent_weights, parent_weights + n);
+
+  // Heavy child per parent: max subtree size, ties to the lowest child id.
+  p->heavy.assign(n, -1);
+  std::vector<int32_t> best_size(n, -1);
+  for (int32_t v = 1; v < n; ++v) {
+    int32_t par = parent[v];
+    if (subtree_size[v] > best_size[par] ||
+        (subtree_size[v] == best_size[par] && v < p->heavy[par])) {
+      best_size[par] = subtree_size[v];
+      p->heavy[par] = v;
+    }
+  }
+
+  // Light depth + path head: one sequential pass in BFS (topological)
+  // order — parents precede children.
+  p->light_depth.assign(n, 0);
+  p->head_of.assign(n, 0);
+  p->head_of[0] = 0;
+  for (int32_t i = 1; i < n; ++i) {
+    int32_t v = bfs_order[i];
+    int32_t par = parent[v];
+    bool is_heavy = p->heavy[par] == v;
+    p->light_depth[v] = p->light_depth[par] + (is_heavy ? 0 : 1);
+    p->head_of[v] = is_heavy ? p->head_of[par] : v;
+  }
+
+  int32_t n_rounds = 0;
+  for (int32_t v = 0; v < n; ++v)
+    n_rounds = std::max(n_rounds, p->light_depth[v] + 1);
+  p->n_rounds = n_rounds;
+
+  // Sort nodes by (round, head, depth) via a u64 key. head < 2^26 and
+  // depth < 2^26 hold for any image this library accepts (n < 6.7e7).
+  std::vector<uint64_t> keys(n);
+  for (int32_t v = 0; v < n; ++v)
+    keys[v] = ((uint64_t)p->light_depth[v] << 52) |
+              ((uint64_t)p->head_of[v] << 26) | (uint64_t)level_of[v];
+  std::vector<int32_t> order(n);
+  for (int32_t i = 0; i < n; ++i) order[i] = i;
+  std::sort(order.begin(), order.end(),
+            [&](int32_t a, int32_t b) { return keys[a] < keys[b]; });
+  p->sorted_nodes = std::move(order);
+
+  p->round_starts.assign(n_rounds + 1, 0);
+  for (int32_t v = 0; v < n; ++v) ++p->round_starts[p->light_depth[v] + 1];
+  for (int32_t t = 0; t < n_rounds; ++t)
+    p->round_starts[t + 1] += p->round_starts[t];
+
+  p->pos_of.assign(n, 0);
+  for (int32_t i = 0; i < n; ++i) {
+    int32_t v = p->sorted_nodes[i];
+    p->pos_of[v] = i - p->round_starts[p->light_depth[v]];
+  }
+
+  // Light nodes bucketed by their parent's round (stable in node order).
+  p->light_starts.assign(n_rounds + 1, 0);
+  std::vector<int32_t> lights;
+  lights.reserve(n);
+  for (int32_t v = 1; v < n; ++v)
+    if (p->heavy[parent[v]] != v) {
+      lights.push_back(v);
+      ++p->light_starts[p->light_depth[parent[v]] + 1];
+    }
+  for (int32_t t = 0; t < n_rounds; ++t)
+    p->light_starts[t + 1] += p->light_starts[t];
+  p->lights_sorted.assign(lights.size(), 0);
+  std::vector<int32_t> cursor(p->light_starts.begin(),
+                              p->light_starts.end() - 1);
+  for (int32_t v : lights)
+    p->lights_sorted[cursor[p->light_depth[parent[v]]]++] = v;
+
+  return p;
+}
+
+void gsm_hpd_plan_free(GsmHpdPlan* p) { delete p; }
+
+extern "C" {
+
+// Phase 1: per-round unpadded sizes. Arrays of length n_rounds (caller
+// allocates >= gsm_hpd_plan_rounds entries).
+int32_t gsm_hpd_plan_rounds(GsmHpdPlan* p) { return p->n_rounds; }
+
+void gsm_hpd_plan_sizes(GsmHpdPlan* p, int32_t* path_len, int32_t* num_heads,
+                        int32_t* num_lights) {
+  for (int32_t t = 0; t < p->n_rounds; ++t) {
+    int32_t s = p->round_starts[t], e = p->round_starts[t + 1];
+    path_len[t] = e - s;
+    int32_t heads = 0;
+    for (int32_t i = s; i < e; ++i)
+      if (p->head_of[p->sorted_nodes[i]] == p->sorted_nodes[i]) ++heads;
+    num_heads[t] = heads;
+    num_lights[t] = p->light_starts[t + 1] - p->light_starts[t];
+  }
+}
+
+// Phase 2: fill the flat padded plan buffers. caps_* give the padded
+// (power-of-two, registry-merged) sizes per padded round; rounds beyond
+// p->n_rounds are all-dummy. Layout per round, matching hpd.py:
+//   ints:   concat(L) head_pos(H) head_parent(H) lc(M) light_parent_pos(M)
+//   floats: heavy_a(L) parent_a(L) light_w(M)
+void gsm_hpd_plan_fill(GsmHpdPlan* p, int32_t padded_rounds,
+                       const int32_t* caps_l, const int32_t* caps_h,
+                       const int32_t* caps_m, int32_t* ints, float* floats) {
+  const int32_t n = p->n;
+  int64_t ip = 0, fp = 0;
+  for (int32_t t = 0; t < padded_rounds; ++t) {
+    const int32_t l_pad = caps_l[t], h_pad = caps_h[t], m_pad = caps_m[t];
+    const int32_t dummy_pos = l_pad - 1;
+    int32_t s = 0, e = 0, ls = 0, le = 0;
+    if (t < p->n_rounds) {
+      s = p->round_starts[t];
+      e = p->round_starts[t + 1];
+      ls = p->light_starts[t];
+      le = p->light_starts[t + 1];
+    }
+    const int32_t len = e - s, m_len = le - ls;
+
+    int32_t* concat = ints + ip;
+    int32_t* head_pos = concat + l_pad;
+    int32_t* head_parent = head_pos + h_pad;
+    int32_t* lc = head_parent + h_pad;
+    int32_t* light_parent_pos = lc + m_pad;
+    float* heavy_a = floats + fp;
+    float* parent_a = heavy_a + l_pad;
+    float* light_w = parent_a + l_pad;
+    ip += (int64_t)l_pad + 2 * h_pad + 2 * m_pad;
+    fp += (int64_t)2 * l_pad + m_pad;
+
+    int32_t heads = 0;
+    for (int32_t i = 0; i < len; ++i) {
+      int32_t v = p->sorted_nodes[s + i];
+      concat[i] = v;
+      int32_t hv = p->heavy[v];
+      heavy_a[i] = hv >= 0 ? p->weights[hv] : 0.0f;
+      parent_a[i] = v == 0 ? 0.0f : p->weights[v];
+      if (p->head_of[v] == v) {
+        head_pos[heads] = i;
+        head_parent[heads] = v == 0 ? n : p->parent[v];
+        ++heads;
+      }
+    }
+    for (int32_t i = len; i < l_pad; ++i) {
+      concat[i] = n;
+      heavy_a[i] = 0.0f;
+      parent_a[i] = 0.0f;
+    }
+    for (int32_t i = heads; i < h_pad; ++i) {
+      head_pos[i] = dummy_pos;
+      head_parent[i] = n;
+    }
+    for (int32_t i = 0; i < m_len; ++i) {
+      int32_t v = p->lights_sorted[ls + i];
+      lc[i] = v;
+      light_parent_pos[i] = p->pos_of[p->parent[v]];
+      light_w[i] = p->weights[v];
+    }
+    for (int32_t i = m_len; i < m_pad; ++i) {
+      lc[i] = n;
+      light_parent_pos[i] = dummy_pos;
+      light_w[i] = 0.0f;
+    }
+  }
 }
 
 }  // extern "C"

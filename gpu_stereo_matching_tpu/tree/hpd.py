@@ -102,6 +102,33 @@ def _registry_save():
         pass  # cache is best-effort
 
 
+def _pow2(x: int) -> int:
+    return 1 << max(int(np.ceil(np.log2(max(x, 1)))), 0)
+
+
+def _registry_caps(n: int, padded_rounds: int, needed):
+    """Merge per-round sizes into the persisted layout registry → caps."""
+    _registry_load()
+    reg_key = (n, padded_rounds)
+    caps = _LAYOUT_REGISTRY.get(reg_key)
+    if caps is None or any(
+        any(nd > c for nd, c in zip(row, cap_row))
+        for row, cap_row in zip(needed, caps)
+    ):
+        caps = (
+            needed
+            if caps is None
+            else [
+                tuple(max(nd, c) for nd, c in zip(row, cap_row))
+                for row, cap_row in zip(needed, caps)
+            ]
+        )
+        caps = [tuple(row) for row in caps]
+        _LAYOUT_REGISTRY[reg_key] = caps
+        _registry_save()
+    return caps
+
+
 @dataclasses.dataclass(frozen=True)
 class _Round:
     """Static per-round sizes: L path nodes, H heads, M light children."""
@@ -127,7 +154,83 @@ class HeavyPathPlan:
     floats: jnp.ndarray  # f32,  Σ(2L + M)
 
     @staticmethod
-    def from_tree(tree: SegmentTree, sigma: float) -> "HeavyPathPlan":
+    def from_tree(
+        tree: SegmentTree, sigma: float, native: bool = True
+    ) -> "HeavyPathPlan":
+        """Build the plan. ``native=True`` runs the C++ core
+        (``gsm_hpd_plan_*``, the streaming host hot path); ``native=False``
+        keeps the vectorized-NumPy construction as the bit-exact oracle.
+        Both share the persisted layout registry.
+        """
+        if native:
+            return HeavyPathPlan._from_tree_native(tree, sigma)
+        return HeavyPathPlan._from_tree_numpy(tree, sigma)
+
+    @staticmethod
+    def _from_tree_native(tree: SegmentTree, sigma: float) -> "HeavyPathPlan":
+        import ctypes
+
+        from gpu_stereo_matching_tpu.tree.builder import _lib
+
+        lib = _lib()
+        n = tree.num_nodes
+        weights = tree.parent_weights(sigma).astype(np.float32)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        f32p = ctypes.POINTER(ctypes.c_float)
+
+        def p32(a):
+            return np.ascontiguousarray(a, np.int32).ctypes.data_as(i32p)
+
+        handle = ctypes.c_void_p(
+            lib.gsm_hpd_plan_new(
+                n, p32(tree.parent), p32(tree.level_of),
+                p32(tree.subtree_size), p32(tree.bfs_order),
+                weights.ctypes.data_as(f32p),
+            )
+        )
+        try:
+            n_rounds = lib.gsm_hpd_plan_rounds(handle)
+            ls = np.empty(n_rounds, np.int32)
+            hs = np.empty(n_rounds, np.int32)
+            ms = np.empty(n_rounds, np.int32)
+            lib.gsm_hpd_plan_sizes(
+                handle, ls.ctypes.data_as(i32p), hs.ctypes.data_as(i32p),
+                ms.ctypes.data_as(i32p),
+            )
+            padded_rounds = _pow2(n_rounds)
+            needed = [
+                (
+                    _pow2(int(ls[t]) + 1),
+                    _pow2(max(int(hs[t]), 1)),
+                    _pow2(max(int(ms[t]), 1)),
+                )
+                if t < n_rounds
+                else (1, 1, 1)
+                for t in range(padded_rounds)
+            ]
+            caps = _registry_caps(n, padded_rounds, needed)
+            caps_l = np.array([c[0] for c in caps], np.int32)
+            caps_h = np.array([c[1] for c in caps], np.int32)
+            caps_m = np.array([c[2] for c in caps], np.int32)
+            ints = np.empty(int(np.sum(caps_l + 2 * caps_h + 2 * caps_m)),
+                            np.int32)
+            floats = np.empty(int(np.sum(2 * caps_l + caps_m)), np.float32)
+            lib.gsm_hpd_plan_fill(
+                handle, padded_rounds,
+                caps_l.ctypes.data_as(i32p), caps_h.ctypes.data_as(i32p),
+                caps_m.ctypes.data_as(i32p),
+                ints.ctypes.data_as(i32p), floats.ctypes.data_as(f32p),
+            )
+        finally:
+            lib.gsm_hpd_plan_free(handle)
+        metas = tuple(_Round(int(a), int(b), int(c)) for a, b, c in caps)
+        return HeavyPathPlan(
+            num_nodes=n, rounds_meta=metas,
+            ints=jnp.asarray(ints), floats=jnp.asarray(floats),
+        )
+
+    @staticmethod
+    def _from_tree_numpy(tree: SegmentTree, sigma: float) -> "HeavyPathPlan":
         n = tree.num_nodes
         parent = tree.parent.astype(np.int64)
         weights = tree.parent_weights(sigma).astype(np.float32)
@@ -197,9 +300,6 @@ class HeavyPathPlan:
         # Padding is semantically inert: dummy path nodes have A=0 and
         # write into the scratch slot N; dummy light/head entries carry
         # zero weights and point at the padded tail.
-        def _pow2(x: int) -> int:
-            return 1 << max(int(np.ceil(np.log2(max(x, 1)))), 0)
-
         padded_rounds = _pow2(n_rounds)
         needed = []
         per_round_data = []
@@ -219,23 +319,7 @@ class HeavyPathPlan:
                  _pow2(max(len(lc), 1)))
             )
 
-        _registry_load()
-        reg_key = (n, padded_rounds)
-        caps = _LAYOUT_REGISTRY.get(reg_key)
-        if caps is None or any(
-            any(nd > c for nd, c in zip(row, cap_row))
-            for row, cap_row in zip(needed, caps)
-        ):
-            caps = (
-                needed
-                if caps is None
-                else [
-                    tuple(max(nd, c) for nd, c in zip(row, cap_row))
-                    for row, cap_row in zip(needed, caps)
-                ]
-            )
-            _LAYOUT_REGISTRY[reg_key] = caps
-            _registry_save()
+        caps = _registry_caps(n, padded_rounds, needed)
 
         ints_parts, float_parts, metas = [], [], []
         for t in range(padded_rounds):

@@ -73,6 +73,39 @@ def test_color_weights(rng):
     np.testing.assert_array_equal(wts, want)
 
 
+def test_native_weight_providers_match_numpy(rng):
+    """C++ weight providers are bit-identical to the NumPy/JAX oracles."""
+    from gpu_stereo_matching_tpu.tree.builder import color_depth_edge_weights
+
+    img = rng.integers(0, 256, size=(13, 17, 3), dtype=np.uint8)
+    for presmooth in (False, True):
+        native = color_edge_weights(img, presmooth=presmooth, native=True)
+        oracle = color_edge_weights(img, presmooth=presmooth, native=False)
+        np.testing.assert_array_equal(native, oracle)
+
+    disp = rng.integers(0, 60, size=(13, 17)).astype(np.float32)
+    stable = rng.random((13, 17)) > 0.4
+    native = color_depth_edge_weights(img, disp, stable, 60, native=True)
+    oracle = color_depth_edge_weights(img, disp, stable, 60, native=False)
+    np.testing.assert_array_equal(native, oracle)
+
+
+def test_native_hpd_plan_matches_numpy(rng):
+    """The C++ HPD plan core emits the exact arrays of the NumPy builder."""
+    from gpu_stereo_matching_tpu.tree.hpd import HeavyPathPlan
+
+    h, w = 19, 23
+    weights = _random_weights(rng, h, w)
+    tree = build_segment_tree(weights, h, w, tau=80.0, min_size=4, penalty=5.0)
+    native = HeavyPathPlan.from_tree(tree, 0.1, native=True)
+    oracle = HeavyPathPlan.from_tree(tree, 0.1, native=False)
+    assert native.rounds_meta == oracle.rounds_meta
+    np.testing.assert_array_equal(np.asarray(native.ints), np.asarray(oracle.ints))
+    np.testing.assert_array_equal(
+        np.asarray(native.floats), np.asarray(oracle.floats)
+    )
+
+
 def test_tree_filter_matches_sequential_oracle(rng):
     h, w, d = 9, 12, 5
     weights = _random_weights(rng, h, w)
