@@ -42,12 +42,30 @@ def chessboard_object_points(
 
 
 def detect_chessboard_corners(
-    image_gray: np.ndarray, pattern_cols: int, pattern_rows: int
+    image_gray: np.ndarray,
+    pattern_cols: int,
+    pattern_rows: int,
+    backend: str = "native",
 ) -> Optional[np.ndarray]:
     """Detect inner chessboard corners → (N, 2) float pixel coords or None.
 
-    Uses OpenCV's detector when importable (acquisition-side tooling only).
+    ``backend="native"`` (default) runs the framework's own detector
+    (``calib.chessboard``: saddle-response + lattice growing + homography
+    completion — no OpenCV in the product path; it finds more of the
+    bundled Chess boards than ``cv::findChessboardCorners``).
+    ``backend="opencv"`` uses OpenCV when importable (kept as an external
+    cross-check, per SURVEY §2.4).
     """
+    if backend == "native":
+        from gpu_stereo_matching_tpu.calib.chessboard import (
+            detect_chessboard_corners_native,
+        )
+
+        return detect_chessboard_corners_native(
+            image_gray, pattern_cols, pattern_rows
+        )
+    if backend != "opencv":
+        raise ValueError(f"unknown backend: {backend!r}")
     try:
         import cv2
     except ImportError:

@@ -143,6 +143,80 @@ def _cmd_middlebury(args) -> int:
     return 0
 
 
+def _cmd_calibrate(args) -> int:
+    """Stereo calibration from chessboard captures (the reference's
+    ``CalibrationTest`` flow, ``Utility.cpp:97-196``, minus the interactive
+    camera loop): native corner detection → Zhang mono + stereo
+    calibration → OpenCV-format YAML."""
+    import glob as globmod
+
+    import numpy as np
+
+    from gpu_stereo_matching_tpu.calib.zhang import (
+        calibrate_camera,
+        chessboard_object_points,
+        detect_chessboard_corners,
+        stereo_calibrate,
+    )
+    from gpu_stereo_matching_tpu.io.calib_yaml import (
+        StereoCalibration,
+        save_opencv_stereo_yaml,
+    )
+    from gpu_stereo_matching_tpu.io.images import load_image_gray
+
+    lefts = sorted(globmod.glob(args.left_glob))
+    rights = sorted(globmod.glob(args.right_glob))
+    if len(lefts) != len(rights) or not lefts:
+        print(f"unpaired captures: {len(lefts)} left vs {len(rights)} right")
+        return 2
+    lp, rp = [], []
+    for lf, rf in zip(lefts, rights):
+        lc = detect_chessboard_corners(
+            np.asarray(load_image_gray(lf)), args.cols, args.rows,
+            backend=args.backend,
+        )
+        rc = detect_chessboard_corners(
+            np.asarray(load_image_gray(rf)), args.cols, args.rows,
+            backend=args.backend,
+        )
+        status = "ok" if lc is not None and rc is not None else "skip"
+        print(f"{lf} / {rf}: {status}")
+        if lc is not None and rc is not None:
+            lp.append(lc)
+            rp.append(rc)
+    if len(lp) < 3:
+        print(f"only {len(lp)} usable pairs; need >= 3")
+        return 1
+    obj = chessboard_object_points(args.cols, args.rows, args.square_size)
+    cl = calibrate_camera(obj, lp)
+    cr = calibrate_camera(obj, rp)
+    sc = stereo_calibrate(obj, lp, rp, cl, cr)
+    print(
+        f"left: fx={cl.intrinsics[0,0]:.1f} fy={cl.intrinsics[1,1]:.1f} "
+        f"cx={cl.intrinsics[0,2]:.1f} cy={cl.intrinsics[1,2]:.1f} "
+        f"rms={cl.rms_error:.3f}px"
+    )
+    print(
+        f"right: fx={cr.intrinsics[0,0]:.1f} fy={cr.intrinsics[1,1]:.1f} "
+        f"cx={cr.intrinsics[0,2]:.1f} cy={cr.intrinsics[1,2]:.1f} "
+        f"rms={cr.rms_error:.3f}px"
+    )
+    print(f"stereo: |T|={np.linalg.norm(sc.translation):.2f} rms={sc.rms_error:.3f}px")
+    save_opencv_stereo_yaml(
+        args.out,
+        StereoCalibration(
+            left_intrinsics=cl.intrinsics,
+            right_intrinsics=cr.intrinsics,
+            left_distortion=cl.distortion,
+            right_distortion=cr.distortion,
+            rotation=sc.rotation,
+            translation=sc.translation,
+        ),
+    )
+    print(f"wrote {args.out} ({len(lp)} pairs)")
+    return 0
+
+
 def _cmd_bench(args) -> int:
     import bench
 
@@ -196,6 +270,20 @@ def build_parser() -> argparse.ArgumentParser:
     mb.add_argument("--pipelines", default="bm,st1")
     mb.add_argument("--scenes", default=None)
     mb.set_defaults(fn=_cmd_middlebury)
+
+    cal = sub.add_parser(
+        "calibrate", help="stereo calibration from chessboard captures"
+    )
+    cal.add_argument("left_glob", help="glob for left captures")
+    cal.add_argument("right_glob", help="glob for right captures")
+    cal.add_argument("out", help="output calibration YAML")
+    cal.add_argument("--cols", type=int, default=14, help="inner corners per row")
+    cal.add_argument("--rows", type=int, default=14, help="inner corner rows")
+    cal.add_argument("--square-size", type=float, default=1.0)
+    cal.add_argument(
+        "--backend", choices=("native", "opencv"), default="native"
+    )
+    cal.set_defaults(fn=_cmd_calibrate)
 
     be = sub.add_parser("bench", help="headline throughput benchmark")
     be.set_defaults(fn=_cmd_bench)

@@ -52,3 +52,35 @@ def load_opencv_stereo_yaml(path: str | os.PathLike) -> StereoCalibration:
         rotation=_matrix(doc["RotationVec"]),
         translation=_matrix(doc["TranslationVec"]).reshape(-1),
     )
+
+
+def _emit_matrix(name: str, mat: np.ndarray) -> str:
+    mat = np.asarray(mat, np.float64)
+    if mat.ndim == 1:
+        mat = mat.reshape(1, -1)
+    vals = ", ".join(repr(float(v)) for v in mat.reshape(-1))
+    return (
+        f"{name}: !!opencv-matrix\n"
+        f"   rows: {mat.shape[0]}\n"
+        f"   cols: {mat.shape[1]}\n"
+        f"   dt: d\n"
+        f"   data: [ {vals} ]\n"
+    )
+
+
+def save_opencv_stereo_yaml(
+    path: str | os.PathLike, calib: StereoCalibration
+) -> None:
+    """Write the same ``%YAML:1.0`` + ``!!opencv-matrix`` format the
+    reference's calibration tool produces (``Utility.cpp:173-175``);
+    round-trips through :func:`load_opencv_stereo_yaml` and is readable by
+    ``cv::FileStorage``."""
+    doc = "%YAML:1.0\n---\n"
+    doc += _emit_matrix("LeftMat", calib.left_intrinsics)
+    doc += _emit_matrix("LeftDist", calib.left_distortion.reshape(1, -1))
+    doc += _emit_matrix("RightMat", calib.right_intrinsics)
+    doc += _emit_matrix("RightDist", calib.right_distortion.reshape(1, -1))
+    doc += _emit_matrix("RotationVec", calib.rotation)
+    doc += _emit_matrix("TranslationVec", calib.translation.reshape(3, 1))
+    with open(path, "w") as f:
+        f.write(doc)
