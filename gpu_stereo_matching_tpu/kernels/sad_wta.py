@@ -238,6 +238,52 @@ def _kernel(
     disp_out[:, :] = best_d
 
 
+def _packed_unroll(num_disparities: int) -> int:
+    """Pairs per loop iteration: independent sum chains give the scheduler
+    instruction-level parallelism (~8% measured at 4 on v5e)."""
+    pairs = num_disparities // 2
+    for k in (4, 2):
+        if pairs % k == 0:
+            return k
+    return 1
+
+
+def _packed_wta_loop(
+    lbuf, rbuf, *, num_disparities, radius, tile_h, wp, true_width,
+    invalid_cost,
+):
+    """Shared packed-pair disparity loop → (tile_h, wp) int32 disparity."""
+    lf, lf_m1, rf, col_t, padfix = _packed_pair_prelude(
+        lbuf, rbuf, radius=radius, tile_h=tile_h, wp=wp
+    )
+    unroll = _packed_unroll(num_disparities)
+
+    def body(j, carry):
+        shifted, best_lo, best_hi = carry
+        d0 = 2 * unroll * j
+        for k in range(unroll):
+            sh = shifted if k == 0 else pltpu.roll(shifted, 2 * k, 1)
+            sad_lo, sad_hi = _packed_pair_body(
+                lf, lf_m1, col_t, padfix, sh, d0 + 2 * k,
+                radius=radius, tile_h=tile_h, wp=wp,
+                true_width=true_width, invalid_cost=invalid_cost,
+            )
+            best_lo = jnp.minimum(best_lo, (sad_lo << 8) | (d0 + 2 * k))
+            best_hi = jnp.minimum(best_hi, (sad_hi << 8) | (d0 + 2 * k + 1))
+        return pltpu.roll(shifted, 2 * unroll, 1), best_lo, best_hi
+
+    imax = jnp.iinfo(jnp.int32).max
+    init = (
+        rf,
+        jnp.full((tile_h, wp), imax, jnp.int32),
+        jnp.full((tile_h, wp), imax, jnp.int32),
+    )
+    _, best_lo, best_hi = jax.lax.fori_loop(
+        0, num_disparities // (2 * unroll), body, init
+    )
+    return jnp.minimum(best_lo, best_hi) & 255
+
+
 def _packed_kernel(
     left_hbm, right_hbm, disp_out, lbuf, rbuf, sems, *,
     num_disparities, radius, tile_h, true_width, invalid_cost,
@@ -257,30 +303,11 @@ def _packed_kernel(
     cp_r.start()
     cp_l.wait()
     cp_r.wait()
-    lf, lf_m1, rf, col_t, padfix = _packed_pair_prelude(
-        lbuf, rbuf, radius=radius, tile_h=tile_h, wp=wp
+    disp_out[:, :] = _packed_wta_loop(
+        lbuf, rbuf,
+        num_disparities=num_disparities, radius=radius, tile_h=tile_h,
+        wp=wp, true_width=true_width, invalid_cost=invalid_cost,
     )
-
-    def body(j, carry):
-        shifted, best_lo, best_hi = carry
-        d_lo = 2 * j
-        sad_lo, sad_hi = _packed_pair_body(
-            lf, lf_m1, col_t, padfix, shifted, d_lo,
-            radius=radius, tile_h=tile_h, wp=wp,
-            true_width=true_width, invalid_cost=invalid_cost,
-        )
-        best_lo = jnp.minimum(best_lo, (sad_lo << 8) | d_lo)
-        best_hi = jnp.minimum(best_hi, (sad_hi << 8) | (d_lo + 1))
-        return pltpu.roll(shifted, 2, 1), best_lo, best_hi
-
-    imax = jnp.iinfo(jnp.int32).max
-    init = (
-        rf,
-        jnp.full((tile_h, wp), imax, jnp.int32),
-        jnp.full((tile_h, wp), imax, jnp.int32),
-    )
-    _, best_lo, best_hi = jax.lax.fori_loop(0, num_disparities // 2, body, init)
-    disp_out[:, :] = jnp.minimum(best_lo, best_hi) & 255
 
 
 @functools.partial(
@@ -591,30 +618,11 @@ def _packed_batched_kernel(
     cp_r.start()
     cp_l.wait()
     cp_r.wait()
-    lf, lf_m1, rf, col_t, padfix = _packed_pair_prelude(
-        lbuf, rbuf, radius=radius, tile_h=tile_h, wp=wp
+    disp_out[0, :, :] = _packed_wta_loop(
+        lbuf, rbuf,
+        num_disparities=num_disparities, radius=radius, tile_h=tile_h,
+        wp=wp, true_width=true_width, invalid_cost=invalid_cost,
     )
-
-    def body(j, carry):
-        shifted, best_lo, best_hi = carry
-        d_lo = 2 * j
-        sad_lo, sad_hi = _packed_pair_body(
-            lf, lf_m1, col_t, padfix, shifted, d_lo,
-            radius=radius, tile_h=tile_h, wp=wp,
-            true_width=true_width, invalid_cost=invalid_cost,
-        )
-        best_lo = jnp.minimum(best_lo, (sad_lo << 8) | d_lo)
-        best_hi = jnp.minimum(best_hi, (sad_hi << 8) | (d_lo + 1))
-        return pltpu.roll(shifted, 2, 1), best_lo, best_hi
-
-    imax = jnp.iinfo(jnp.int32).max
-    init = (
-        rf,
-        jnp.full((tile_h, wp), imax, jnp.int32),
-        jnp.full((tile_h, wp), imax, jnp.int32),
-    )
-    _, best_lo, best_hi = jax.lax.fori_loop(0, num_disparities // 2, body, init)
-    disp_out[0, :, :] = jnp.minimum(best_lo, best_hi) & 255
 
 
 @functools.partial(
