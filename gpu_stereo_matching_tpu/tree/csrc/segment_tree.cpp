@@ -180,8 +180,7 @@ int32_t gsm_build_segment_tree(
         if (e.w < 0.0f) { nonneg = false; break; }
       if (!nonneg) {
         edges = std::move(by_ba);
-        std::stable_sort(edges.begin(), edges.end(),
-                         [](const Edge& x, const Edge& y) { return x.w < y.w; });
+        std::stable_sort(edges.begin(), edges.end(), edge_less);
       } else {
         std::vector<Edge> tmp(n_edges);
         Edge* src = by_ba.data();
