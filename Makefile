@@ -18,6 +18,9 @@ bench-stream:
 bench-micro:
 	python -m gpu_stereo_matching_tpu.bench.micro
 
+bench-st-stream:
+	python -m gpu_stereo_matching_tpu.bench.st_streaming
+
 middlebury:
 	python -m gpu_stereo_matching_tpu.cli.main middlebury --pipelines bm,bm+,st1,st2
 
