@@ -60,3 +60,44 @@ def test_cli_rectify(tmp_path, rng):
     out = load_image_gray(prefix + "_left.png")
     assert out.shape == (100, 160)
     assert out.mean() > 10  # mostly valid remapped content
+
+
+def test_cli_calibrate(tmp_path, rng):
+    """calibrate subcommand end-to-end on synthetic chessboard captures."""
+    from tests.test_chessboard import render_board
+    from gpu_stereo_matching_tpu.io.calib_yaml import load_opencv_stereo_yaml
+
+    cols = rows = 6
+    views = [
+        np.array([[1.0, 0.03, 30.0], [0.02, 1.0, 24.0], [0, 0, 1.0]]),
+        np.array([[0.96, -0.02, 44.0], [0.03, 1.02, 30.0], [1e-4, 0, 1.0]]),
+        np.array([[1.05, 0.01, 22.0], [-0.02, 0.97, 40.0], [0, 1e-4, 1.0]]),
+        np.array([[0.99, 0.05, 36.0], [0.01, 1.04, 20.0], [-1e-4, 1e-4, 1.0]]),
+    ]
+    # The right camera sees the same boards shifted (a crude baseline).
+    shift = np.array([[1.0, 0, -6.0], [0, 1.0, 0], [0, 0, 1.0]])
+    size = (260, 300)
+    for i, h_mat in enumerate(views):
+        img_l, _ = render_board(cols, rows, square=24, h_mat=h_mat,
+                                size=size, noise=1.0, rng=rng)
+        img_r, _ = render_board(cols, rows, square=24, h_mat=shift @ h_mat,
+                                size=size, noise=1.0, rng=rng)
+        save_image(str(tmp_path / f"Left_{i}.png"), img_l)
+        save_image(str(tmp_path / f"Right_{i}.png"), img_r)
+    out = str(tmp_path / "calib.yml")
+    rc = main([
+        "calibrate", str(tmp_path / "Left_*.png"), str(tmp_path / "Right_*.png"),
+        out, "--cols", str(cols), "--rows", str(rows),
+    ])
+    assert rc == 0
+    calib = load_opencv_stereo_yaml(out)
+    assert calib.left_intrinsics.shape == (3, 3)
+    assert np.isfinite(calib.translation).all()
+
+
+def test_cli_calibrate_unpaired(tmp_path):
+    rc = main([
+        "calibrate", str(tmp_path / "none_*.png"), str(tmp_path / "none_*.png"),
+        str(tmp_path / "o.yml"),
+    ])
+    assert rc == 2
