@@ -452,6 +452,11 @@ def fused_block_matching_key(
     ``pmin`` reduces to recover the global (SAD, argmin) pair with
     smallest-d tie-breaking.
     """
+    from gpu_stereo_matching_tpu.core.validation import check_gray_pair
+
+    check_gray_pair(
+        left_gray, right_gray, total_disparities, "fused_block_matching_key"
+    )
     h, w = left_gray.shape
     r = radius
     num_tiles = -(-h // tile_h)

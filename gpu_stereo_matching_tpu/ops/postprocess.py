@@ -67,9 +67,7 @@ def median_filter_u8(
     if method == "auto":
         method = "sort" if (2 * radius + 1) ** 2 <= 49 else "histogram"
     if method == "histogram":
-        if valid_mask is not None:
-            raise NotImplementedError("valid_mask requires the sort method")
-        return _median_u8_histogram(x, radius)
+        return _median_u8_histogram(x, radius, valid_mask)
     h, w = x.shape[-2], x.shape[-1]
     k = 2 * radius + 1
     xi = x.astype(jnp.int16)
@@ -96,7 +94,9 @@ def median_filter_u8(
     return med.astype(jnp.uint8)
 
 
-def _median_u8_histogram(x: jnp.ndarray, radius: int) -> jnp.ndarray:
+def _median_u8_histogram(
+    x: jnp.ndarray, radius: int, valid_mask: "jnp.ndarray | None" = None
+) -> jnp.ndarray:
     """Histogram-CDF median: the TPU-native analog of CTMF (``ctmf.c``).
 
     CTMF slides two-tier column histograms with SIMD adds; here the CDF is
@@ -104,16 +104,26 @@ def _median_u8_histogram(x: jnp.ndarray, radius: int) -> jnp.ndarray:
     indicator ``x ≤ v`` gives the windowed CDF at v, and the median is the
     count of levels whose CDF is still below the rank. 255 separable
     prefix-sum box filters, fully VPU-vectorized, O(1) per pixel in the
-    radius, constant memory.
+    radius, constant memory. Invalid pixels (``valid_mask`` False) are
+    excluded from both the CDF and the window count, exactly like
+    out-of-image pixels.
     """
     from gpu_stereo_matching_tpu.ops.aggregate import box_filter_sum
 
     h, w = x.shape[-2], x.shape[-1]
-    n = window_counts((h, w), radius)
+    if valid_mask is None:
+        n = window_counts((h, w), radius)
+        valid_i = None
+    else:
+        valid_i = valid_mask.astype(jnp.int32)
+        n = box_filter_sum(valid_i, radius)
     rank = (n // 2 + 1).astype(jnp.int32)
 
     def body(v, med):
-        cdf = box_filter_sum((x <= v.astype(x.dtype)).astype(jnp.int32), radius)
+        le = (x <= v.astype(x.dtype)).astype(jnp.int32)
+        if valid_i is not None:
+            le = le * valid_i
+        cdf = box_filter_sum(le, radius)
         return med + (cdf < rank).astype(jnp.int32)
 
     med = jax.lax.fori_loop(

@@ -45,10 +45,22 @@ from gpu_stereo_matching_tpu.tree.builder import SegmentTree
 
 # Registry of converged round layouts, keyed by (N, rounds). Persisted to
 # disk so fresh processes reuse converged layouts (and therefore hit the
-# persistent XLA compilation cache) instead of re-converging.
+# persistent XLA compilation cache) instead of re-converging. Guarded by a
+# lock: the streaming pipelines build plans from worker threads.
 _LAYOUT_REGISTRY: dict = {}
+_K_REGISTRY: dict = {}  # (N, rounds) -> per-round max light-children slots
 _REGISTRY_PATH = None
 _REGISTRY_LOADED = False
+_REGISTRY_LOCK = None
+
+
+def _registry_lock():
+    global _REGISTRY_LOCK
+    if _REGISTRY_LOCK is None:
+        import threading
+
+        _REGISTRY_LOCK = threading.Lock()
+    return _REGISTRY_LOCK
 
 
 def _registry_file():
@@ -77,10 +89,15 @@ def _registry_load():
             with open(path) as f:
                 raw = json.load(f)
             for key, caps in raw.items():
-                n_str, r_str = key.split(":")
-                _LAYOUT_REGISTRY[(int(n_str), int(r_str))] = [
-                    tuple(row) for row in caps
-                ]
+                parts = key.split(":")
+                if len(parts) == 3 and parts[0] == "K":
+                    _K_REGISTRY[(int(parts[1]), int(parts[2]))] = [
+                        int(v) for v in caps
+                    ]
+                elif len(parts) == 2:
+                    _LAYOUT_REGISTRY[(int(parts[0]), int(parts[1]))] = [
+                        tuple(row) for row in caps
+                    ]
         except Exception:
             pass  # corrupt cache: start fresh
 
@@ -94,6 +111,9 @@ def _registry_save():
         os.makedirs(os.path.dirname(path), exist_ok=True)
         raw = {f"{k[0]}:{k[1]}": [list(row) for row in v]
                for k, v in _LAYOUT_REGISTRY.items()}
+        raw.update(
+            {f"K:{k[0]}:{k[1]}": list(v) for k, v in _K_REGISTRY.items()}
+        )
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(raw, f)
@@ -108,25 +128,43 @@ def _pow2(x: int) -> int:
 
 def _registry_caps(n: int, padded_rounds: int, needed):
     """Merge per-round sizes into the persisted layout registry → caps."""
-    _registry_load()
-    reg_key = (n, padded_rounds)
-    caps = _LAYOUT_REGISTRY.get(reg_key)
-    if caps is None or any(
-        any(nd > c for nd, c in zip(row, cap_row))
-        for row, cap_row in zip(needed, caps)
-    ):
-        caps = (
-            needed
-            if caps is None
-            else [
-                tuple(max(nd, c) for nd, c in zip(row, cap_row))
-                for row, cap_row in zip(needed, caps)
-            ]
-        )
-        caps = [tuple(row) for row in caps]
-        _LAYOUT_REGISTRY[reg_key] = caps
-        _registry_save()
-    return caps
+    with _registry_lock():
+        _registry_load()
+        reg_key = (n, padded_rounds)
+        caps = _LAYOUT_REGISTRY.get(reg_key)
+        if caps is None or any(
+            any(nd > c for nd, c in zip(row, cap_row))
+            for row, cap_row in zip(needed, caps)
+        ):
+            caps = (
+                needed
+                if caps is None
+                else [
+                    tuple(max(nd, c) for nd, c in zip(row, cap_row))
+                    for row, cap_row in zip(needed, caps)
+                ]
+            )
+            caps = [tuple(row) for row in caps]
+            _LAYOUT_REGISTRY[reg_key] = caps
+            _registry_save()
+        return caps
+
+
+def _registry_caps_k(n: int, padded_rounds: int, needed):
+    """Merge per-round light-slot counts (plan-order layout) → caps."""
+    with _registry_lock():
+        _registry_load()
+        key = (n, padded_rounds)
+        caps = _K_REGISTRY.get(key)
+        if caps is None or any(nd > c for nd, c in zip(needed, caps)):
+            caps = (
+                list(needed)
+                if caps is None
+                else [max(nd, c) for nd, c in zip(needed, caps)]
+            )
+            _K_REGISTRY[key] = caps
+            _registry_save()
+        return caps
 
 
 @dataclasses.dataclass(frozen=True)

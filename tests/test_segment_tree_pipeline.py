@@ -89,7 +89,10 @@ def test_st1_tiled_single_band_equals_global(rng):
     np.testing.assert_array_equal(got, want)
 
 
-def test_st1_tiled_two_bands_runs(rng):
+def test_st1_tiled_two_bands_matches_per_band_oracle(rng):
+    """Seam correctness: each band must equal the full ST-1 oracle run on
+    that band alone (band-local tree, band-local cost slice, band-local
+    median) — the concatenation over the band union, not just the shape."""
     from gpu_stereo_matching_tpu.models.segment_tree_tiled import st1_disparity_tiled
 
     left = rng.integers(0, 256, size=(14, 16, 3), dtype=np.uint8)
@@ -97,6 +100,20 @@ def test_st1_tiled_two_bands_runs(rng):
     cfg = SegmentTreeConfig(max_disp_levels=5, tau=90.0, min_size_seg=5)
     disp = st1_disparity_tiled(left, right, 2, cfg)
     assert disp.shape == (14, 16)
+
+    cost = oracles.color_grad_cost_volume_oracle(left, right, cfg.max_disp_levels)
+    bands = []
+    for y0, y1 in ((0, 7), (7, 14)):
+        band = _oracle_aggregate_select(
+            cost[:, y0:y1], color_edge_weights(left[y0:y1]), cfg.sigma, cfg
+        )
+        bands.append(band)
+    want = np.minimum(
+        np.concatenate(bands, axis=0).astype(np.int32) * cfg.disparity_scale, 255
+    ).astype(np.uint8)
+    _assert_mostly_equal(disp, want, min_agree=0.97)
+    # The seam rows themselves must agree too (not hide in the average).
+    _assert_mostly_equal(disp[6:8], want[6:8], min_agree=0.9)
 
 
 def test_video_pipeline_matches_per_frame(rng):
