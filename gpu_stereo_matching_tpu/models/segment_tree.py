@@ -41,7 +41,12 @@ from gpu_stereo_matching_tpu.tree.builder import (
     color_edge_weights,
 )
 from gpu_stereo_matching_tpu.tree.filter import tree_filter_nodes
-from gpu_stereo_matching_tpu.tree.hpd import HeavyPathPlan, tree_filter_nodes_hpd
+from gpu_stereo_matching_tpu.tree.hpd import (
+    HeavyPathPlan,
+    PlanOrderPlan,
+    tree_filter_nodes_hpd,
+    tree_filter_nodes_po,
+)
 
 
 _cost_volume_jit = jax.jit(color_gradient_cost_volume, static_argnums=(2,))
@@ -51,7 +56,9 @@ _right_from_left_jit = jax.jit(right_cost_from_left)
 def _filter_wta_median(cost_nodes, plan, shape_hw):
     # cost_nodes: (N, D); returns median-filtered uint8 disparity (H, W).
     h, w = shape_hw
-    if isinstance(plan, HeavyPathPlan):
+    if isinstance(plan, PlanOrderPlan):
+        filtered = tree_filter_nodes_po(cost_nodes, plan)
+    elif isinstance(plan, HeavyPathPlan):
         filtered = tree_filter_nodes_hpd(cost_nodes, plan)
     else:
         filtered = tree_filter_nodes(cost_nodes, plan)
@@ -70,6 +77,25 @@ def _st1_device(left_bgr, right_bgr, plan, num_disp):
 
 
 _st1_device_jit = jax.jit(_st1_device, static_argnums=(3,))
+
+
+def _st1_device_batched(left_b, right_b, plans, num_disp):
+    """One dispatch for a whole frame group: (B,H,W,3)×2 + stacked plans.
+
+    Requires the scatter-free plan-order filter (``PlanOrderPlan``) — the
+    scatter-based formulations batch catastrophically under vmap (round-1
+    negative result, ROADMAP.md).
+    """
+
+    def one(left, right, plan):
+        cost = color_gradient_cost_volume(left, right, num_disp)
+        d, h, w = cost.shape
+        return _filter_wta_median(_to_nodes(cost), plan, (h, w))
+
+    return jax.vmap(one)(left_b, right_b, plans)
+
+
+_st1_device_batched_jit = jax.jit(_st1_device_batched, static_argnums=(3,))
 
 
 def _to_nodes(cost: jnp.ndarray) -> jnp.ndarray:
@@ -92,9 +118,9 @@ def _aggregate_select(
         tau=cfg.tau, min_size=cfg.min_size_seg, penalty=cfg.penalty_cross_seg,
         weight_scale=weight_scale,
     )
-    # Heavy-path plan: O(log²N)-depth scans (~4× faster on TPU than the
-    # level-synchronous formulation on Middlebury-size trees).
-    plan = HeavyPathPlan.from_tree(tree, sigma)
+    # Plan-order heavy-path plan: O(log²N)-depth scans, scatter-free (so
+    # it batches/shards; see tree/hpd.py).
+    plan = PlanOrderPlan.from_tree(tree, sigma)
     return np.asarray(_filter_wta_median_jit(_to_nodes(cost), plan, (h, w)))
 
 
@@ -116,7 +142,7 @@ def st1_disparity(
         tau=config.tau, min_size=config.min_size_seg,
         penalty=config.penalty_cross_seg, weight_scale=1.0,
     )
-    plan = HeavyPathPlan.from_tree(tree, config.sigma)
+    plan = PlanOrderPlan.from_tree(tree, config.sigma)
     disp = np.asarray(
         _st1_device_jit(
             jnp.asarray(left_bgr), jnp.asarray(right_bgr), plan,

@@ -25,9 +25,13 @@ import numpy as np
 import jax.numpy as jnp
 
 from gpu_stereo_matching_tpu.core.config import SegmentTreeConfig
-from gpu_stereo_matching_tpu.models.segment_tree import _scale_u8, _st1_device_jit
+from gpu_stereo_matching_tpu.models.segment_tree import (
+    _scale_u8,
+    _st1_device_batched_jit,
+    _st1_device_jit,
+)
 from gpu_stereo_matching_tpu.tree.builder import build_segment_tree, color_edge_weights
-from gpu_stereo_matching_tpu.tree.hpd import HeavyPathPlan
+from gpu_stereo_matching_tpu.tree.hpd import PlanOrderPlan, stack_plans
 
 
 class SegmentTreeVideoPipeline:
@@ -36,7 +40,7 @@ class SegmentTreeVideoPipeline:
     def __init__(self, config: SegmentTreeConfig = SegmentTreeConfig()) -> None:
         self.config = config
 
-    def _host_build(self, left_bgr: np.ndarray) -> HeavyPathPlan:
+    def _host_build(self, left_bgr: np.ndarray) -> PlanOrderPlan:
         cfg = self.config
         h, w = left_bgr.shape[:2]
         weights = color_edge_weights(left_bgr)
@@ -45,7 +49,7 @@ class SegmentTreeVideoPipeline:
             tau=cfg.tau, min_size=cfg.min_size_seg,
             penalty=cfg.penalty_cross_seg, weight_scale=1.0,
         )
-        return HeavyPathPlan.from_tree(tree, cfg.sigma)
+        return PlanOrderPlan.from_tree(tree, cfg.sigma)
 
     def process(
         self, frames: Iterable[Tuple[np.ndarray, np.ndarray]]
@@ -78,3 +82,110 @@ class SegmentTreeVideoPipeline:
 
         if pending is not None:
             yield _scale_u8(np.asarray(pending), cfg.disparity_scale)
+
+
+class SegmentTreeBatchPipeline:
+    """Batched streaming ST-1: G frames per device dispatch.
+
+    Per-frame ST dispatches pay a fixed tunnel/dispatch round trip that
+    caps throughput regardless of kernel speed; batching G frames into one
+    vmapped dispatch amortizes it.  Host tree builds (C++ via ctypes —
+    the GIL is released during the calls) run on a small thread pool and
+    are overlapped with the device dispatch of the previous group, same
+    software-pipelining scheme as :class:`SegmentTreeVideoPipeline`.
+
+    Output order and values match the per-frame pipeline (the plan-order
+    filter is bit-identical single vs batched).
+    """
+
+    def __init__(
+        self,
+        config: SegmentTreeConfig = SegmentTreeConfig(),
+        group_size: int = 8,
+        workers: int = 2,
+    ) -> None:
+        if group_size < 1:
+            raise ValueError("group_size must be >= 1")
+        self.config = config
+        self.group_size = group_size
+        self.workers = workers
+
+    def _build_plan(self, left_bgr: np.ndarray) -> PlanOrderPlan:
+        cfg = self.config
+        h, w = left_bgr.shape[:2]
+        weights = color_edge_weights(left_bgr)
+        tree = build_segment_tree(
+            weights, h, w,
+            tau=cfg.tau, min_size=cfg.min_size_seg,
+            penalty=cfg.penalty_cross_seg, weight_scale=1.0,
+        )
+        return PlanOrderPlan.from_tree(tree, cfg.sigma)
+
+    def _host_build_group(self, group, pool) -> Tuple[np.ndarray, np.ndarray, PlanOrderPlan, int]:
+        """Stack a (possibly short) group; pad by repeating the last frame."""
+        n_real = len(group)
+        g = self.group_size
+        padded = list(group) + [group[-1]] * (g - n_real)
+        lefts = np.stack([f[0] for f in padded])
+        rights = np.stack([f[1] for f in padded])
+        plans = list(pool.map(self._build_plan, [f[0] for f in padded]))
+        final = plans[-1]
+        plans = [
+            p
+            if (p.rounds_meta == final.rounds_meta
+                and p.total_pos == final.total_pos)
+            else self._build_plan(f[0])
+            for p, f in zip(plans, padded)
+        ]
+        return lefts, rights, stack_plans(plans), n_real
+
+    def process(
+        self, frames: Iterable[Tuple[np.ndarray, np.ndarray]]
+    ) -> Iterator[np.ndarray]:
+        """Yield scaled uint8 disparity maps, one per input frame pair."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        cfg = self.config
+        g = self.group_size
+
+        def chunks(it):
+            buf = []
+            for f in it:
+                buf.append(f)
+                if len(buf) == g:
+                    yield buf
+                    buf = []
+            if buf:
+                yield buf
+
+        with ThreadPoolExecutor(max_workers=self.workers) as pool:
+            it = chunks(iter(frames))
+            cur = next(it, None)
+            if cur is None:
+                return
+            cur_host = self._host_build_group(cur, pool)
+            pending = None  # (device array, n_real) for group i-1
+
+            while cur_host is not None:
+                lefts, rights, plans, n_real = cur_host
+                out = _st1_device_batched_jit(
+                    jnp.asarray(lefts), jnp.asarray(rights), plans,
+                    cfg.max_disp_levels,
+                )
+                # Overlap: next group's host build runs while the device
+                # crunches the current group (async dispatch above).
+                nxt = next(it, None)
+                nxt_host = (
+                    self._host_build_group(nxt, pool) if nxt is not None
+                    else None
+                )
+                if pending is not None:
+                    arr, k = pending
+                    for row in np.asarray(arr)[:k]:
+                        yield _scale_u8(row, cfg.disparity_scale)
+                pending = (out, n_real)
+                cur_host = nxt_host
+
+            arr, k = pending
+            for row in np.asarray(arr)[:k]:
+                yield _scale_u8(row, cfg.disparity_scale)

@@ -49,6 +49,7 @@ from gpu_stereo_matching_tpu.tree.builder import SegmentTree
 # lock: the streaming pipelines build plans from worker threads.
 _LAYOUT_REGISTRY: dict = {}
 _K_REGISTRY: dict = {}  # (N, rounds) -> per-round max light-children slots
+_ROUNDS_REGISTRY: dict = {}  # N -> max padded round count seen
 _REGISTRY_PATH = None
 _REGISTRY_LOADED = False
 _REGISTRY_LOCK = None
@@ -94,6 +95,8 @@ def _registry_load():
                     _K_REGISTRY[(int(parts[1]), int(parts[2]))] = [
                         int(v) for v in caps
                     ]
+                elif len(parts) == 2 and parts[0] == "R":
+                    _ROUNDS_REGISTRY[int(parts[1])] = int(caps)
                 elif len(parts) == 2:
                     _LAYOUT_REGISTRY[(int(parts[0]), int(parts[1]))] = [
                         tuple(row) for row in caps
@@ -114,6 +117,7 @@ def _registry_save():
         raw.update(
             {f"K:{k[0]}:{k[1]}": list(v) for k, v in _K_REGISTRY.items()}
         )
+        raw.update({f"R:{k}": v for k, v in _ROUNDS_REGISTRY.items()})
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(raw, f)
@@ -167,6 +171,25 @@ def _registry_caps_k(n: int, padded_rounds: int, needed):
         return caps
 
 
+def _registry_rounds(n: int, needed: int) -> int:
+    """Converge the padded round count per tree size.
+
+    Without this, two frames of one video whose trees happen to straddle a
+    power-of-two light-depth boundary would get plans of different static
+    shape — breaking plan stacking (batched/sharded dispatch) and forcing a
+    recompile. The registry makes round padding monotone per N, like the
+    per-round caps.
+    """
+    with _registry_lock():
+        _registry_load()
+        cur = _ROUNDS_REGISTRY.get(n, 0)
+        if needed > cur:
+            _ROUNDS_REGISTRY[n] = needed
+            _registry_save()
+            cur = needed
+        return cur
+
+
 @dataclasses.dataclass(frozen=True)
 class _Round:
     """Static per-round sizes: L path nodes, H heads, M light children."""
@@ -200,208 +223,208 @@ class HeavyPathPlan:
         keeps the vectorized-NumPy construction as the bit-exact oracle.
         Both share the persisted layout registry.
         """
-        if native:
-            return HeavyPathPlan._from_tree_native(tree, sigma)
-        return HeavyPathPlan._from_tree_numpy(tree, sigma)
-
-    @staticmethod
-    def _from_tree_native(tree: SegmentTree, sigma: float) -> "HeavyPathPlan":
-        import ctypes
-
-        from gpu_stereo_matching_tpu.tree.builder import _lib
-
-        lib = _lib()
-        n = tree.num_nodes
-        weights = tree.parent_weights(sigma).astype(np.float32)
-        i32p = ctypes.POINTER(ctypes.c_int32)
-        f32p = ctypes.POINTER(ctypes.c_float)
-
-        def p32(a):
-            return np.ascontiguousarray(a, np.int32).ctypes.data_as(i32p)
-
-        handle = ctypes.c_void_p(
-            lib.gsm_hpd_plan_new(
-                n, p32(tree.parent), p32(tree.level_of),
-                p32(tree.subtree_size), p32(tree.bfs_order),
-                weights.ctypes.data_as(f32p),
-            )
-        )
-        try:
-            n_rounds = lib.gsm_hpd_plan_rounds(handle)
-            ls = np.empty(n_rounds, np.int32)
-            hs = np.empty(n_rounds, np.int32)
-            ms = np.empty(n_rounds, np.int32)
-            lib.gsm_hpd_plan_sizes(
-                handle, ls.ctypes.data_as(i32p), hs.ctypes.data_as(i32p),
-                ms.ctypes.data_as(i32p),
-            )
-            padded_rounds = _pow2(n_rounds)
-            needed = [
-                (
-                    _pow2(int(ls[t]) + 1),
-                    _pow2(max(int(hs[t]), 1)),
-                    _pow2(max(int(ms[t]), 1)),
-                )
-                if t < n_rounds
-                else (1, 1, 1)
-                for t in range(padded_rounds)
-            ]
-            caps = _registry_caps(n, padded_rounds, needed)
-            caps_l = np.array([c[0] for c in caps], np.int32)
-            caps_h = np.array([c[1] for c in caps], np.int32)
-            caps_m = np.array([c[2] for c in caps], np.int32)
-            ints = np.empty(int(np.sum(caps_l + 2 * caps_h + 2 * caps_m)),
-                            np.int32)
-            floats = np.empty(int(np.sum(2 * caps_l + caps_m)), np.float32)
-            lib.gsm_hpd_plan_fill(
-                handle, padded_rounds,
-                caps_l.ctypes.data_as(i32p), caps_h.ctypes.data_as(i32p),
-                caps_m.ctypes.data_as(i32p),
-                ints.ctypes.data_as(i32p), floats.ctypes.data_as(f32p),
-            )
-        finally:
-            lib.gsm_hpd_plan_free(handle)
+        caps, ints, floats = _packed_arrays(tree, sigma, native)
         metas = tuple(_Round(int(a), int(b), int(c)) for a, b, c in caps)
         return HeavyPathPlan(
-            num_nodes=n, rounds_meta=metas,
+            num_nodes=tree.num_nodes, rounds_meta=metas,
             ints=jnp.asarray(ints), floats=jnp.asarray(floats),
         )
 
-    @staticmethod
-    def _from_tree_numpy(tree: SegmentTree, sigma: float) -> "HeavyPathPlan":
-        n = tree.num_nodes
-        parent = tree.parent.astype(np.int64)
-        weights = tree.parent_weights(sigma).astype(np.float32)
-        sub = tree.subtree_size
-        bfs = tree.bfs_order
 
-        # Heavy child per node: child with max subtree size (ties: lowest
-        # id), via sorting children by (parent, size desc, id asc).
-        heavy = np.full(n, -1, np.int64)
-        ch = np.arange(n)
-        ch = ch[ch != 0]
-        order = np.lexsort((ch, -sub[ch], parent[ch]))
-        ch_sorted = ch[order]
-        par_sorted = parent[ch_sorted]
-        first = np.ones(len(ch_sorted), bool)
-        first[1:] = par_sorted[1:] != par_sorted[:-1]
-        heavy[par_sorted[first]] = ch_sorted[first]
+def _packed_arrays(tree: SegmentTree, sigma: float, native: bool = True):
+    """Packed plan arrays as host NumPy: (caps, ints, floats)."""
+    if native:
+        return _packed_arrays_native(tree, sigma)
+    return _packed_arrays_numpy(tree, sigma)
 
-        is_heavy_child = np.zeros(n, bool)
-        is_heavy_child[heavy[heavy >= 0]] = True
 
-        # Light depth (light edges on the root path) and path head per node,
-        # by pointer doubling — O(log depth) vectorized rounds instead of a
-        # Python sweep over every BFS level (3120 levels on Art).
-        light = ~is_heavy_child
-        light[0] = False  # the root has no parent edge
-        light_depth64 = light.astype(np.int64)
-        jump = parent.copy()
-        # head pointer: fixed point at path heads (light nodes and the root)
-        head_ptr = np.where(light | (np.arange(n) == 0), np.arange(n), parent)
-        max_depth = int(tree.num_levels)
-        rounds = max(1, int(np.ceil(np.log2(max(max_depth, 2)))))
-        for _ in range(rounds):
-            light_depth64 = light_depth64 + light_depth64[jump]
-            jump = jump[jump]
-            head_ptr = head_ptr[head_ptr]
-        light_depth = light_depth64.astype(np.int32)
-        head_of = head_ptr.astype(np.int64)
+def _packed_arrays_native(tree: SegmentTree, sigma: float):
+    import ctypes
 
-        # Concatenated layout: sort all nodes by (round, path head, depth);
-        # every path is contiguous head→tail inside its round block.
-        depth = tree.level_of.astype(np.int64)
-        order_all = np.lexsort((depth, head_of, light_depth))
-        sorted_nodes = order_all
-        sorted_round = light_depth[sorted_nodes]
-        is_head_all = sorted_nodes == head_of[sorted_nodes]
-        n_rounds = int(light_depth.max()) + 1
-        round_starts = np.searchsorted(sorted_round, np.arange(n_rounds + 1))
+    from gpu_stereo_matching_tpu.tree.builder import _lib
 
-        pos_of = np.empty(n, np.int64)
-        pos_of[sorted_nodes] = np.arange(n) - round_starts[sorted_round]
+    lib = _lib()
+    n = tree.num_nodes
+    weights = tree.parent_weights(sigma).astype(np.float32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    f32p = ctypes.POINTER(ctypes.c_float)
 
-        all_lights = np.arange(n)[(~is_heavy_child) & (np.arange(n) != 0)]
-        light_round = light_depth[parent[all_lights]]
-        light_order = np.argsort(light_round, kind="stable")
-        lights_sorted = all_lights[light_order]
-        light_starts = np.searchsorted(
-            light_round[light_order], np.arange(n_rounds + 1)
+    def p32(a):
+        return np.ascontiguousarray(a, np.int32).ctypes.data_as(i32p)
+
+    handle = ctypes.c_void_p(
+        lib.gsm_hpd_plan_new(
+            n, p32(tree.parent), p32(tree.level_of),
+            p32(tree.subtree_size), p32(tree.bfs_order),
+            weights.ctypes.data_as(f32p),
         )
-
-        # Pad every per-round size up to a power of two and the round count
-        # to a power of two, then fit the result into a per-process layout
-        # registry (elementwise-max, keyed by image size): the static
-        # layout — and therefore the jit compilation — converges to one
-        # shared shape across frames whose trees differ only in detail.
-        # Per-frame trees would otherwise force a recompile per frame.
-        # Padding is semantically inert: dummy path nodes have A=0 and
-        # write into the scratch slot N; dummy light/head entries carry
-        # zero weights and point at the padded tail.
-        padded_rounds = _pow2(n_rounds)
-        needed = []
-        per_round_data = []
-        for t in range(padded_rounds):
-            if t < n_rounds:
-                s, e = round_starts[t], round_starts[t + 1]
-                concat = sorted_nodes[s:e]
-                is_head = is_head_all[s:e]
-                lc = lights_sorted[light_starts[t] : light_starts[t + 1]]
-            else:
-                concat = np.zeros(0, np.int64)
-                is_head = np.zeros(0, bool)
-                lc = np.zeros(0, np.int64)
-            per_round_data.append((concat, is_head, lc))
-            needed.append(
-                (_pow2(len(concat) + 1), _pow2(max(len(np.where(is_head)[0]), 1)),
-                 _pow2(max(len(lc), 1)))
+    )
+    try:
+        n_rounds = lib.gsm_hpd_plan_rounds(handle)
+        ls = np.empty(n_rounds, np.int32)
+        hs = np.empty(n_rounds, np.int32)
+        ms = np.empty(n_rounds, np.int32)
+        lib.gsm_hpd_plan_sizes(
+            handle, ls.ctypes.data_as(i32p), hs.ctypes.data_as(i32p),
+            ms.ctypes.data_as(i32p),
+        )
+        padded_rounds = _registry_rounds(n, _pow2(n_rounds))
+        needed = [
+            (
+                _pow2(int(ls[t]) + 1),
+                _pow2(max(int(hs[t]), 1)),
+                _pow2(max(int(ms[t]), 1)),
             )
-
+            if t < n_rounds
+            else (1, 1, 1)
+            for t in range(padded_rounds)
+        ]
         caps = _registry_caps(n, padded_rounds, needed)
-
-        ints_parts, float_parts, metas = [], [], []
-        for t in range(padded_rounds):
-            concat, is_head, lc = per_round_data[t]
-            l_pad, h_pad, m_pad = caps[t]
-
-            hv = heavy[concat]
-            heavy_a = np.where(hv >= 0, weights[np.maximum(hv, 0)], 0.0)
-            parent_a = weights[concat].copy()
-            parent_a[concat == 0] = 0.0
-            head_pos = np.where(is_head)[0]
-            head_nodes = concat[head_pos]
-            head_parent = np.where(head_nodes == 0, n, parent[head_nodes])
-            light_parent_pos = pos_of[parent[lc]]
-
-            pad_l = l_pad - len(concat)
-            concat = np.concatenate([concat, np.full(pad_l, n)])
-            heavy_a = np.concatenate([heavy_a, np.zeros(pad_l)])
-            parent_a = np.concatenate([parent_a, np.zeros(pad_l)])
-            # Dummy heads/lights target the padded tail of this round.
-            dummy_pos = l_pad - 1
-            pad_h = h_pad - len(head_pos)
-            head_pos = np.concatenate([head_pos, np.full(pad_h, dummy_pos)])
-            head_parent = np.concatenate([head_parent, np.full(pad_h, n)])
-            pad_m = m_pad - len(lc)
-            lc = np.concatenate([lc, np.full(pad_m, n)])
-            light_parent_pos = np.concatenate(
-                [light_parent_pos, np.full(pad_m, dummy_pos)]
-            )
-            light_w = np.concatenate([weights[lc[: m_pad - pad_m].astype(np.int64)],
-                                      np.zeros(pad_m)])
-
-            metas.append(_Round(l_pad, h_pad, m_pad))
-            ints_parts += [concat, head_pos, head_parent, lc, light_parent_pos]
-            float_parts += [heavy_a, parent_a, light_w]
-
-        ints = np.concatenate(ints_parts) if ints_parts else np.zeros(0)
-        floats = np.concatenate(float_parts) if float_parts else np.zeros(0)
-        return HeavyPathPlan(
-            num_nodes=n,
-            rounds_meta=tuple(metas),
-            ints=jnp.asarray(ints.astype(np.int32)),
-            floats=jnp.asarray(floats.astype(np.float32)),
+        caps_l = np.array([c[0] for c in caps], np.int32)
+        caps_h = np.array([c[1] for c in caps], np.int32)
+        caps_m = np.array([c[2] for c in caps], np.int32)
+        ints = np.empty(int(np.sum(caps_l + 2 * caps_h + 2 * caps_m)),
+                        np.int32)
+        floats = np.empty(int(np.sum(2 * caps_l + caps_m)), np.float32)
+        lib.gsm_hpd_plan_fill(
+            handle, padded_rounds,
+            caps_l.ctypes.data_as(i32p), caps_h.ctypes.data_as(i32p),
+            caps_m.ctypes.data_as(i32p),
+            ints.ctypes.data_as(i32p), floats.ctypes.data_as(f32p),
         )
+    finally:
+        lib.gsm_hpd_plan_free(handle)
+    return caps, ints, floats
+
+
+def _packed_arrays_numpy(tree: SegmentTree, sigma: float):
+    n = tree.num_nodes
+    parent = tree.parent.astype(np.int64)
+    weights = tree.parent_weights(sigma).astype(np.float32)
+    sub = tree.subtree_size
+    bfs = tree.bfs_order
+
+    # Heavy child per node: child with max subtree size (ties: lowest
+    # id), via sorting children by (parent, size desc, id asc).
+    heavy = np.full(n, -1, np.int64)
+    ch = np.arange(n)
+    ch = ch[ch != 0]
+    order = np.lexsort((ch, -sub[ch], parent[ch]))
+    ch_sorted = ch[order]
+    par_sorted = parent[ch_sorted]
+    first = np.ones(len(ch_sorted), bool)
+    first[1:] = par_sorted[1:] != par_sorted[:-1]
+    heavy[par_sorted[first]] = ch_sorted[first]
+
+    is_heavy_child = np.zeros(n, bool)
+    is_heavy_child[heavy[heavy >= 0]] = True
+
+    # Light depth (light edges on the root path) and path head per node,
+    # by pointer doubling — O(log depth) vectorized rounds instead of a
+    # Python sweep over every BFS level (3120 levels on Art).
+    light = ~is_heavy_child
+    light[0] = False  # the root has no parent edge
+    light_depth64 = light.astype(np.int64)
+    jump = parent.copy()
+    # head pointer: fixed point at path heads (light nodes and the root)
+    head_ptr = np.where(light | (np.arange(n) == 0), np.arange(n), parent)
+    max_depth = int(tree.num_levels)
+    rounds = max(1, int(np.ceil(np.log2(max(max_depth, 2)))))
+    for _ in range(rounds):
+        light_depth64 = light_depth64 + light_depth64[jump]
+        jump = jump[jump]
+        head_ptr = head_ptr[head_ptr]
+    light_depth = light_depth64.astype(np.int32)
+    head_of = head_ptr.astype(np.int64)
+
+    # Concatenated layout: sort all nodes by (round, path head, depth);
+    # every path is contiguous head→tail inside its round block.
+    depth = tree.level_of.astype(np.int64)
+    order_all = np.lexsort((depth, head_of, light_depth))
+    sorted_nodes = order_all
+    sorted_round = light_depth[sorted_nodes]
+    is_head_all = sorted_nodes == head_of[sorted_nodes]
+    n_rounds = int(light_depth.max()) + 1
+    round_starts = np.searchsorted(sorted_round, np.arange(n_rounds + 1))
+
+    pos_of = np.empty(n, np.int64)
+    pos_of[sorted_nodes] = np.arange(n) - round_starts[sorted_round]
+
+    all_lights = np.arange(n)[(~is_heavy_child) & (np.arange(n) != 0)]
+    light_round = light_depth[parent[all_lights]]
+    light_order = np.argsort(light_round, kind="stable")
+    lights_sorted = all_lights[light_order]
+    light_starts = np.searchsorted(
+        light_round[light_order], np.arange(n_rounds + 1)
+    )
+
+    # Pad every per-round size up to a power of two and the round count
+    # to a power of two, then fit the result into a per-process layout
+    # registry (elementwise-max, keyed by image size): the static
+    # layout — and therefore the jit compilation — converges to one
+    # shared shape across frames whose trees differ only in detail.
+    # Per-frame trees would otherwise force a recompile per frame.
+    # Padding is semantically inert: dummy path nodes have A=0 and
+    # write into the scratch slot N; dummy light/head entries carry
+    # zero weights and point at the padded tail.
+    padded_rounds = _registry_rounds(n, _pow2(n_rounds))
+    needed = []
+    per_round_data = []
+    for t in range(padded_rounds):
+        if t < n_rounds:
+            s, e = round_starts[t], round_starts[t + 1]
+            concat = sorted_nodes[s:e]
+            is_head = is_head_all[s:e]
+            lc = lights_sorted[light_starts[t] : light_starts[t + 1]]
+        else:
+            concat = np.zeros(0, np.int64)
+            is_head = np.zeros(0, bool)
+            lc = np.zeros(0, np.int64)
+        per_round_data.append((concat, is_head, lc))
+        needed.append(
+            (_pow2(len(concat) + 1), _pow2(max(len(np.where(is_head)[0]), 1)),
+             _pow2(max(len(lc), 1)))
+        )
+
+    caps = _registry_caps(n, padded_rounds, needed)
+
+    ints_parts, float_parts = [], []
+    for t in range(padded_rounds):
+        concat, is_head, lc = per_round_data[t]
+        l_pad, h_pad, m_pad = caps[t]
+
+        hv = heavy[concat]
+        heavy_a = np.where(hv >= 0, weights[np.maximum(hv, 0)], 0.0)
+        parent_a = weights[concat].copy()
+        parent_a[concat == 0] = 0.0
+        head_pos = np.where(is_head)[0]
+        head_nodes = concat[head_pos]
+        head_parent = np.where(head_nodes == 0, n, parent[head_nodes])
+        light_parent_pos = pos_of[parent[lc]]
+
+        pad_l = l_pad - len(concat)
+        concat = np.concatenate([concat, np.full(pad_l, n)])
+        heavy_a = np.concatenate([heavy_a, np.zeros(pad_l)])
+        parent_a = np.concatenate([parent_a, np.zeros(pad_l)])
+        # Dummy heads/lights target the padded tail of this round.
+        dummy_pos = l_pad - 1
+        pad_h = h_pad - len(head_pos)
+        head_pos = np.concatenate([head_pos, np.full(pad_h, dummy_pos)])
+        head_parent = np.concatenate([head_parent, np.full(pad_h, n)])
+        pad_m = m_pad - len(lc)
+        lc = np.concatenate([lc, np.full(pad_m, n)])
+        light_parent_pos = np.concatenate(
+            [light_parent_pos, np.full(pad_m, dummy_pos)]
+        )
+        light_w = np.concatenate([weights[lc[: m_pad - pad_m].astype(np.int64)],
+                                  np.zeros(pad_m)])
+
+        ints_parts += [concat, head_pos, head_parent, lc, light_parent_pos]
+        float_parts += [heavy_a, parent_a, light_w]
+
+    ints = np.concatenate(ints_parts) if ints_parts else np.zeros(0)
+    floats = np.concatenate(float_parts) if float_parts else np.zeros(0)
+    return caps, ints.astype(np.int32), floats.astype(np.float32)
 
 
 jax.tree_util.register_pytree_node(
@@ -487,3 +510,256 @@ def tree_filter_nodes_hpd(cost_nodes: jnp.ndarray, plan: HeavyPathPlan) -> jnp.n
         f_buf = f_buf.at[nodes].set(b_c)
 
     return f_buf[:n]
+
+
+# ---------------------------------------------------------------------------
+# Plan-order (scatter-free) formulation
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class PlanOrderPlan:
+    """Scatter-free heavy-path plan.
+
+    All per-round state lives in **plan order** — the concatenation of the
+    rounds' path-node blocks — so the filter needs one permutation gather
+    in, a static ``dynamic_update_slice`` write per round, per-round
+    light/head *gathers* (pull from already-written plan positions), and
+    one gather out.  No ``.at[].set`` / ``.at[].add`` scatters anywhere:
+    scatters are why the original formulation could not be vmap-batched
+    (round-1 negative result: ~40× slowdown batching ST frames). This
+    layout batches and shards cleanly.
+
+    Light children are laid out as K dense per-position slots per round
+    (K = max light children of any path node in that round, ≤ 4 by the
+    grid degree); slot k of position i holds the plan position of i's k-th
+    light child (dummy = P, the always-zero row) and its edge weight.
+
+    ``ints``: per round ``[head_src(L), light_src(K·L)]``, then
+    ``perm(P)``, then ``inv_perm(N)``.  ``floats``: per round
+    ``[heavy_a(L), down_a(L), one_minus_w2(L), head_w(L), light_w(K·L)]``.
+    All cross-position references are plan positions.
+
+    Semantics are identical to :func:`tree_filter_nodes_hpd` (and thus to
+    the sequential reference filter ``STMatching/SegmentTree.cpp:148-181``)
+    up to float summation order.
+    """
+
+    num_nodes: int
+    total_pos: int
+    rounds_meta: Tuple[Tuple[int, int], ...]  # (L, K) per round
+    ints: jnp.ndarray
+    floats: jnp.ndarray
+
+    @staticmethod
+    def from_tree(
+        tree: SegmentTree, sigma: float, native: bool = True
+    ) -> "PlanOrderPlan":
+        caps, ints, floats = _packed_arrays(tree, sigma, native)
+        return _plan_order_from_packed(tree.num_nodes, caps, ints, floats)
+
+
+jax.tree_util.register_pytree_node(
+    PlanOrderPlan,
+    lambda p: ((p.ints, p.floats), (p.num_nodes, p.total_pos, p.rounds_meta)),
+    lambda aux, ch: PlanOrderPlan(aux[0], aux[1], aux[2], ch[0], ch[1]),
+)
+
+
+def _plan_order_from_packed(
+    n: int, caps, ints: np.ndarray, floats: np.ndarray
+) -> PlanOrderPlan:
+    """Host-side conversion of the packed per-round plan into plan order."""
+    total = int(sum(c[0] for c in caps))
+    pos_all = np.full(n + 1, total, np.int64)  # node id -> plan position
+    rounds_raw = []
+    io = fo = 0
+    off = 0
+    for (l, h, m) in caps:
+        nodes = ints[io : io + l].astype(np.int64)
+        head_pos = ints[io + l : io + l + h].astype(np.int64)
+        head_parent = ints[io + l + h : io + l + 2 * h].astype(np.int64)
+        lc = ints[io + l + 2 * h : io + l + 2 * h + m].astype(np.int64)
+        lpp = ints[io + l + 2 * h + m : io + l + 2 * h + 2 * m].astype(np.int64)
+        io += l + 2 * h + 2 * m
+        heavy_a = floats[fo : fo + l]
+        parent_a = floats[fo + l : fo + 2 * l]
+        light_w = floats[fo + 2 * l : fo + 2 * l + m]
+        fo += 2 * l + m
+        real = nodes != n
+        pos_all[nodes[real]] = off + np.where(real)[0]
+        rounds_raw.append(
+            (l, nodes, head_pos, head_parent, lc, lpp, heavy_a, parent_a,
+             light_w)
+        )
+        off += l
+    pos_all[n] = total
+
+    # Slot assignment: sort valid light entries by parent position; the
+    # occurrence rank within each equal-position run is the slot index.
+    needed_k, grouped = [], []
+    for (_l, _nodes, _hp, _hpar, lc, lpp, _ha, _pa, lw) in rounds_raw:
+        valid = lc != n
+        order = np.argsort(lpp[valid], kind="stable")
+        lpp_s = lpp[valid][order]
+        lc_s = lc[valid][order]
+        lw_s = lw[valid][order]
+        if len(lpp_s):
+            newgrp = np.ones(len(lpp_s), bool)
+            newgrp[1:] = lpp_s[1:] != lpp_s[:-1]
+            grp_start = np.maximum.accumulate(
+                np.where(newgrp, np.arange(len(lpp_s)), 0)
+            )
+            rank = np.arange(len(lpp_s)) - grp_start
+            k_need = int(rank.max()) + 1
+        else:
+            rank = np.zeros(0, np.int64)
+            k_need = 0
+        needed_k.append(k_need)
+        grouped.append((lpp_s, lc_s, lw_s, rank))
+
+    k_caps = _registry_caps_k(n, len(caps), needed_k)
+
+    metas, perm_parts, ints_parts, float_parts = [], [], [], []
+    for (l, nodes, head_pos, head_parent, _lc, _lpp, heavy_a, parent_a,
+         _lw), (lpp_s, lc_s, lw_s, rank), kk in zip(rounds_raw, grouped,
+                                                    k_caps):
+        down_a = parent_a.copy()
+        down_a[head_pos] = 0.0  # heads break the in-path recurrence
+        omw2 = 1.0 - parent_a * parent_a
+        head_src = np.full(l, total, np.int64)
+        head_w = np.zeros(l, np.float32)
+        # Padded head entries point at the round's dummy tail with
+        # parent_a == 0, so these writes are inert there.
+        head_src[head_pos] = pos_all[head_parent]
+        head_w[head_pos] = parent_a[head_pos]
+        light_src = np.full((kk, l), total, np.int64)
+        light_sw = np.zeros((kk, l), np.float32)
+        if len(lpp_s):
+            light_src[rank, lpp_s] = pos_all[lc_s]
+            light_sw[rank, lpp_s] = lw_s
+        metas.append((int(l), int(kk)))
+        perm_parts.append(nodes)
+        ints_parts += [head_src, light_src.reshape(-1)]
+        float_parts += [heavy_a, down_a, omw2, head_w, light_sw.reshape(-1)]
+
+    perm = np.concatenate(perm_parts)
+    inv_perm = pos_all[:n]
+    ints_po = np.concatenate(ints_parts + [perm, inv_perm]).astype(np.int32)
+    floats_po = (
+        np.concatenate(float_parts).astype(np.float32)
+        if float_parts else np.zeros(0, np.float32)
+    )
+    return PlanOrderPlan(
+        num_nodes=n, total_pos=total, rounds_meta=tuple(metas),
+        ints=jnp.asarray(ints_po), floats=jnp.asarray(floats_po),
+    )
+
+
+def _unpack_po(plan: PlanOrderPlan):
+    """Per-round static-slice views + (perm, inv_perm, offsets)."""
+    rounds, offs = [], []
+    io = fo = 0
+    off = 0
+    for (l, k) in plan.rounds_meta:
+        head_src = plan.ints[io : io + l]
+        light_src = plan.ints[io + l : io + l + k * l].reshape(k, l)
+        io += l + k * l
+        heavy_a = plan.floats[fo : fo + l]
+        down_a = plan.floats[fo + l : fo + 2 * l]
+        omw2 = plan.floats[fo + 2 * l : fo + 3 * l]
+        head_w = plan.floats[fo + 3 * l : fo + 4 * l]
+        light_w = plan.floats[fo + 4 * l : fo + 4 * l + k * l].reshape(k, l)
+        fo += 4 * l + k * l
+        rounds.append((head_src, light_src, heavy_a, down_a, omw2, head_w,
+                       light_w))
+        offs.append(off)
+        off += l
+    perm = plan.ints[io : io + plan.total_pos]
+    inv_perm = plan.ints[io + plan.total_pos : io + plan.total_pos
+                         + plan.num_nodes]
+    return rounds, offs, perm, inv_perm
+
+
+def tree_filter_nodes_po(
+    cost_nodes: jnp.ndarray, plan: PlanOrderPlan
+) -> jnp.ndarray:
+    """Exact non-local aggregation of (N, D) costs — scatter-free."""
+    d = cost_nodes.shape[1]
+    dt = cost_nodes.dtype
+    total = plan.total_pos
+    cost_ext = jnp.concatenate(
+        [cost_nodes, jnp.zeros((1, d), dt)], axis=0
+    )
+    rounds, offs, perm, inv_perm = _unpack_po(plan)
+    cost_plan = cost_ext[perm]  # the one gather in
+
+    s_buf = jnp.zeros((total + 1, d), dt)
+    # Upward: deepest light-round first; light children pull from rounds
+    # already written.
+    for off, (l, _kk), (
+        _hs, light_src, heavy_a, _da, _o, _hw, light_w
+    ) in reversed(list(zip(offs, plan.rounds_meta, rounds))):
+        b = jax.lax.dynamic_slice(cost_plan, (off, 0), (l, d))
+        for k in range(light_src.shape[0]):
+            b = b + light_w[k][:, None] * s_buf[light_src[k]]
+        a = heavy_a[:, None] * jnp.ones((1, 1), dt)
+        _, s = jax.lax.associative_scan(_combine, (a, b), reverse=True,
+                                        axis=0)
+        s_buf = jax.lax.dynamic_update_slice(s_buf, s, (off, 0))
+
+    f_buf = jnp.zeros((total + 1, d), dt)
+    # Downward: root round first; heads pull their parent's final value.
+    for off, (l, _kk), (
+        head_src, _ls, _ha, down_a, omw2, head_w, _lw
+    ) in zip(offs, plan.rounds_meta, rounds):
+        s_t = jax.lax.dynamic_slice(s_buf, (off, 0), (l, d))
+        b = omw2[:, None] * s_t + head_w[:, None] * f_buf[head_src]
+        a = down_a[:, None] * jnp.ones((1, 1), dt)
+        _, f = jax.lax.associative_scan(_combine, (a, b), axis=0)
+        f_buf = jax.lax.dynamic_update_slice(f_buf, f, (off, 0))
+
+    return f_buf[inv_perm]
+
+
+def stack_plans(plans) -> PlanOrderPlan:
+    """Stack same-layout plans into one batched plan (leading B axis)."""
+    p0 = plans[0]
+    for p in plans[1:]:
+        if (p.num_nodes, p.total_pos, p.rounds_meta) != (
+            p0.num_nodes, p0.total_pos, p0.rounds_meta
+        ):
+            raise ValueError(
+                "plan layouts diverged; build them via converged_plan_batch"
+            )
+    return PlanOrderPlan(
+        p0.num_nodes, p0.total_pos, p0.rounds_meta,
+        jnp.stack([p.ints for p in plans]),
+        jnp.stack([p.floats for p in plans]),
+    )
+
+
+def converged_plan_batch(trees, sigma: float, native: bool = True) -> PlanOrderPlan:
+    """Build one stacked plan for several same-size trees.
+
+    The layout registry is monotone, so the last-built plan sees the
+    merged caps; any earlier plan whose layout is stale is rebuilt once
+    (a pure host-side repack — cheap relative to the tree build).
+    """
+    plans = [PlanOrderPlan.from_tree(t, sigma, native) for t in trees]
+    final = plans[-1]
+    plans = [
+        p
+        if (p.rounds_meta == final.rounds_meta
+            and p.total_pos == final.total_pos)
+        else PlanOrderPlan.from_tree(t, sigma, native)
+        for p, t in zip(plans, trees)
+    ]
+    return stack_plans(plans)
+
+
+def tree_filter_nodes_po_batched(
+    cost_nodes: jnp.ndarray, plans: PlanOrderPlan
+) -> jnp.ndarray:
+    """Batched aggregation: (B, N, D) costs × stacked plans → (B, N, D)."""
+    return jax.vmap(tree_filter_nodes_po)(cost_nodes, plans)

@@ -151,3 +151,35 @@ def test_video_pipeline_empty_and_single(rng):
     )
     out = list(pipe.process(iter([pair])))
     assert len(out) == 1 and out[0].shape == (8, 12)
+
+
+def test_batch_pipeline_matches_per_frame(rng):
+    """Batched (vmapped, grouped) streaming equals per-frame ST-1, incl. a
+    short final group (padded internally, trimmed on output)."""
+    from gpu_stereo_matching_tpu.models.segment_tree_stream import (
+        SegmentTreeBatchPipeline,
+    )
+
+    cfg = SegmentTreeConfig(max_disp_levels=5, tau=90.0, min_size_seg=5)
+    frames = [
+        (
+            rng.integers(0, 256, size=(10, 14, 3), dtype=np.uint8),
+            rng.integers(0, 256, size=(10, 14, 3), dtype=np.uint8),
+        )
+        for _ in range(5)
+    ]
+    pipe = SegmentTreeBatchPipeline(cfg, group_size=3, workers=2)
+    got = list(pipe.process(iter(frames)))
+    assert len(got) == 5
+    for (l, r), d in zip(frames, got):
+        want = st1_disparity(l, r, cfg)
+        np.testing.assert_array_equal(d, want)
+
+
+def test_batch_pipeline_empty(rng):
+    from gpu_stereo_matching_tpu.models.segment_tree_stream import (
+        SegmentTreeBatchPipeline,
+    )
+
+    cfg = SegmentTreeConfig(max_disp_levels=4, tau=90.0, min_size_seg=5)
+    assert list(SegmentTreeBatchPipeline(cfg).process(iter([]))) == []

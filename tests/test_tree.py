@@ -172,3 +172,107 @@ class TestHeavyPathFilter:
         got = self._filter_hpd(cost, tree, sigma=0.08)
         want = np.asarray(tree_filter(jnp.asarray(cost), tree, sigma=0.08))
         np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
+
+
+class TestPlanOrderFilter:
+    """Scatter-free plan-order formulation (tree/hpd.py PlanOrderPlan)."""
+
+    def _tree(self, rng, h, w):
+        weights = _random_weights(rng, h, w)
+        return build_segment_tree(weights, h, w, tau=100.0, min_size=6,
+                                  penalty=5.0)
+
+    @pytest.mark.parametrize("hw", [(7, 9), (16, 21), (1, 8)])
+    def test_matches_hpd_filter(self, rng, hw):
+        from gpu_stereo_matching_tpu.tree.hpd import (
+            HeavyPathPlan,
+            PlanOrderPlan,
+            tree_filter_nodes_hpd,
+            tree_filter_nodes_po,
+        )
+
+        h, w = hw
+        tree = self._tree(rng, h, w)
+        cost = rng.random((h * w, 6)).astype(np.float32)
+        old = np.asarray(
+            tree_filter_nodes_hpd(
+                jnp.asarray(cost), HeavyPathPlan.from_tree(tree, 0.1)
+            )
+        )
+        new = np.asarray(
+            tree_filter_nodes_po(
+                jnp.asarray(cost), PlanOrderPlan.from_tree(tree, 0.1)
+            )
+        )
+        np.testing.assert_allclose(new, old, rtol=2e-6, atol=2e-6)
+
+    def test_matches_sequential_oracle(self, rng):
+        from gpu_stereo_matching_tpu.tree.hpd import (
+            PlanOrderPlan,
+            tree_filter_nodes_po,
+        )
+
+        h, w, d = 11, 13, 5
+        tree = self._tree(rng, h, w)
+        cost = rng.random((h * w, d)).astype(np.float32)
+        got = np.asarray(
+            tree_filter_nodes_po(
+                jnp.asarray(cost), PlanOrderPlan.from_tree(tree, 0.1)
+            )
+        )
+        want = oracles.tree_filter_oracle(
+            cost, tree.bfs_order, tree.parent, tree.parent_weights(0.1)
+        )
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+    def test_native_plan_matches_numpy_plan(self, rng):
+        from gpu_stereo_matching_tpu.tree.hpd import PlanOrderPlan
+
+        tree = self._tree(rng, 14, 19)
+        native = PlanOrderPlan.from_tree(tree, 0.1, native=True)
+        oracle = PlanOrderPlan.from_tree(tree, 0.1, native=False)
+        assert native.rounds_meta == oracle.rounds_meta
+        np.testing.assert_array_equal(
+            np.asarray(native.ints), np.asarray(oracle.ints)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(native.floats), np.asarray(oracle.floats)
+        )
+
+    def test_batched_matches_single(self, rng):
+        """vmap over stacked plans is bit-identical to per-frame filtering
+        (the property the scatter-based formulation lacked)."""
+        from gpu_stereo_matching_tpu.tree.hpd import (
+            PlanOrderPlan,
+            converged_plan_batch,
+            tree_filter_nodes_po,
+            tree_filter_nodes_po_batched,
+        )
+
+        h, w, d, b = 12, 15, 7, 3
+        trees = [self._tree(rng, h, w) for _ in range(b)]
+        costs = np.stack(
+            [rng.random((h * w, d)).astype(np.float32) for _ in range(b)]
+        )
+        batch = converged_plan_batch(trees, 0.1)
+        got = np.asarray(
+            tree_filter_nodes_po_batched(jnp.asarray(costs), batch)
+        )
+        for i, t in enumerate(trees):
+            single = np.asarray(
+                tree_filter_nodes_po(
+                    jnp.asarray(costs[i]), PlanOrderPlan.from_tree(t, 0.1)
+                )
+            )
+            np.testing.assert_array_equal(got[i], single)
+
+    def test_stack_rejects_diverged_layouts(self, rng):
+        from gpu_stereo_matching_tpu.tree.hpd import PlanOrderPlan, stack_plans
+
+        t_a = self._tree(rng, 10, 11)
+        t_b = self._tree(rng, 11, 10)  # different N layout key
+        p_a = PlanOrderPlan.from_tree(t_a, 0.1)
+        p_b = PlanOrderPlan.from_tree(t_b, 0.1)
+        if p_a.rounds_meta != p_b.rounds_meta or p_a.total_pos != p_b.total_pos:
+            with pytest.raises(ValueError):
+                stack_plans([p_a, p_b])
