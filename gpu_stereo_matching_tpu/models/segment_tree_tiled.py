@@ -58,6 +58,36 @@ def st1_disparity_tiled(
     return _scale_u8(disp, config.disparity_scale)
 
 
+def st2_disparity_tiled(
+    left_bgr: np.ndarray,
+    right_bgr: np.ndarray,
+    num_tiles: int,
+    config: SegmentTreeConfig = SegmentTreeConfig(),
+) -> np.ndarray:
+    """ST-2 with independent per-band pipelines → (H, W) uint8.
+
+    Each band runs the FULL iteration pipeline on its crop — per-view
+    trees (σ₁), LR consistency, and color+depth re-segmentation
+    (``STMatching/StereoDisparity.cpp:91-159``) are all band-local. LR
+    consistency only looks along rows, and the cost volume has no vertical
+    taps, so the only cross-band interaction lost is tree support and the
+    median/presmooth windows — the same approximation ST-1 tiling makes,
+    quantified by :func:`tiling_accuracy_report` with ``method="st2"``.
+    """
+    from gpu_stereo_matching_tpu.models.segment_tree import st2_disparity
+
+    check_bgr_pair(left_bgr, right_bgr, config.max_disp_levels, "st2_tiled")
+    h = left_bgr.shape[0]
+    bounds = np.linspace(0, h, num_tiles + 1).astype(int)
+    parts: List[np.ndarray] = []
+    for t in range(num_tiles):
+        y0, y1 = int(bounds[t]), int(bounds[t + 1])
+        parts.append(
+            st2_disparity(left_bgr[y0:y1], right_bgr[y0:y1], config)
+        )
+    return np.concatenate(parts, axis=0)
+
+
 def tiling_accuracy_report(
     scene,
     tile_counts=(1, 2, 4, 8),
