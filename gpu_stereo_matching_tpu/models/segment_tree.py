@@ -98,6 +98,32 @@ def _st1_device_batched(left_b, right_b, plans, num_disp):
 _st1_device_batched_jit = jax.jit(_st1_device_batched, static_argnums=(3,))
 
 
+def _st1_device_merged(left_b, right_b, merged_plan, num_disp):
+    """One dispatch for a frame group via a merged forest plan.
+
+    Measured SLOWER than the stacked-vmap dispatch on v5e (the merged
+    million-row gathers/scans tile poorly — see ``tree.hpd.merge_plans``);
+    the streaming pipeline uses ``_st1_device_batched``. Kept for
+    workloads that want one logical filter over a forest.
+    """
+    from gpu_stereo_matching_tpu.tree.hpd import tree_filter_nodes_po_merged
+
+    cn = jax.vmap(
+        lambda l, r: _to_nodes(color_gradient_cost_volume(l, r, num_disp))
+    )(left_b, right_b)
+    filtered = tree_filter_nodes_po_merged(cn, merged_plan)
+    h, w = left_b.shape[1:3]
+
+    def post(f):
+        disp = wta_disparity(f, axis=1).reshape(h, w)
+        return median_filter_u8(disp.astype(jnp.uint8), 3)
+
+    return jax.vmap(post)(filtered)
+
+
+_st1_device_merged_jit = jax.jit(_st1_device_merged, static_argnums=(3,))
+
+
 def _to_nodes(cost: jnp.ndarray) -> jnp.ndarray:
     d, h, w = cost.shape
     return jnp.moveaxis(cost, 0, -1).reshape(h * w, d)

@@ -104,8 +104,10 @@ class SegmentTreeBatchPipeline:
         group_size: int = 8,
         workers: int = 2,
     ) -> None:
-        if group_size < 1:
-            raise ValueError("group_size must be >= 1")
+        if group_size < 1 or (group_size & (group_size - 1)):
+            # Power of two: merged-plan round blocks stay scan-aligned, so
+            # batched results are bit-identical to per-frame (hpd.merge_plans).
+            raise ValueError("group_size must be a power of two")
         self.config = config
         self.group_size = group_size
         self.workers = workers
@@ -119,7 +121,8 @@ class SegmentTreeBatchPipeline:
             tau=cfg.tau, min_size=cfg.min_size_seg,
             penalty=cfg.penalty_cross_seg, weight_scale=1.0,
         )
-        return PlanOrderPlan.from_tree(tree, cfg.sigma)
+        # Host-side arrays: the group ships as ONE merged plan upload.
+        return PlanOrderPlan.from_tree(tree, cfg.sigma, device=False)
 
     def _host_build_group(self, group, pool) -> Tuple[np.ndarray, np.ndarray, PlanOrderPlan, int]:
         """Stack a (possibly short) group; pad by repeating the last frame."""
@@ -129,14 +132,12 @@ class SegmentTreeBatchPipeline:
         lefts = np.stack([f[0] for f in padded])
         rights = np.stack([f[1] for f in padded])
         plans = list(pool.map(self._build_plan, [f[0] for f in padded]))
-        final = plans[-1]
-        plans = [
-            p
-            if (p.rounds_meta == final.rounds_meta
-                and p.total_pos == final.total_pos)
-            else self._build_plan(f[0])
-            for p, f in zip(plans, padded)
-        ]
+        # Converge layouts to a fixed point (the registry is monotone, but
+        # a build can grow it — see tree.hpd.converged_plan_batch).
+        for _ in range(8):
+            if len({(p.rounds_meta, p.total_pos) for p in plans}) == 1:
+                break
+            plans = list(pool.map(self._build_plan, [f[0] for f in padded]))
         return lefts, rights, stack_plans(plans), n_real
 
     def process(

@@ -92,6 +92,12 @@ def _lib() -> ctypes.CDLL:
         lib.gsm_hpd_plan_fill.argtypes = [
             ctypes.c_void_p, ctypes.c_int32, i32p, i32p, i32p, i32p, f32p,
         ]
+        lib.gsm_po_plan_k.restype = None
+        lib.gsm_po_plan_k.argtypes = [ctypes.c_void_p, i32p]
+        lib.gsm_po_plan_fill.restype = None
+        lib.gsm_po_plan_fill.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, i32p, i32p, i32p, f32p,
+        ]
         _LIB_CACHE = lib
     return _LIB_CACHE
 

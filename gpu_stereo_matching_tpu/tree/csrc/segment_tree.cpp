@@ -669,3 +669,145 @@ void gsm_hpd_plan_fill(GsmHpdPlan* p, int32_t padded_rounds,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Plan-order (scatter-free) plan emitter. Mirrors hpd.py's
+// _plan_order_from_packed (which remains the test oracle) but emits the
+// plan-order buffers directly from the GsmHpdPlan context — the Python
+// conversion was the streaming host hot spot (~200-400 ms/frame of NumPy
+// loop work vs ~10 ms here).
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// Per-round needed light-slot counts K (unpadded rounds only): the max,
+// over path positions, of light children attached to that position.
+void gsm_po_plan_k(GsmHpdPlan* p, int32_t* needed_k) {
+  std::vector<int32_t> count;
+  for (int32_t t = 0; t < p->n_rounds; ++t) {
+    int32_t s = p->round_starts[t], e = p->round_starts[t + 1];
+    int32_t ls = p->light_starts[t], le = p->light_starts[t + 1];
+    count.assign(e - s, 0);
+    int32_t k_need = 0;
+    for (int32_t i = ls; i < le; ++i) {
+      int32_t v = p->lights_sorted[i];
+      int32_t pos = p->pos_of[p->parent[v]];
+      k_need = std::max(k_need, ++count[pos]);
+    }
+    needed_k[t] = k_need;
+  }
+}
+
+// Fill the plan-order buffers. caps_l: padded path length per padded
+// round (registry-merged); k_caps: padded light slots per round. Layout
+// (must match hpd.py _unpack_po):
+//   ints:   per round [head_src(L), light_src(K*L)], then perm(total),
+//           then inv_perm(n)
+//   floats: per round [heavy_a(L), down_a(L), omw2(L), head_w(L),
+//           light_w(K*L)]
+// All cross-position references are plan positions; dummy = total.
+void gsm_po_plan_fill(GsmHpdPlan* p, int32_t padded_rounds,
+                      const int32_t* caps_l, const int32_t* k_caps,
+                      int32_t* ints, float* floats) {
+  const int32_t n = p->n;
+  int64_t total = 0;
+  for (int32_t t = 0; t < padded_rounds; ++t) total += caps_l[t];
+
+  // Node id -> plan position (dummy/absent -> total).
+  std::vector<int32_t> pos_all(n + 1, (int32_t)total);
+  {
+    int64_t off = 0;
+    for (int32_t t = 0; t < padded_rounds && t < p->n_rounds; ++t) {
+      int32_t s = p->round_starts[t], e = p->round_starts[t + 1];
+      for (int32_t i = s; i < e; ++i)
+        pos_all[p->sorted_nodes[i]] = (int32_t)(off + (i - s));
+      off += caps_l[t];
+    }
+    // rounds beyond n_rounds contribute only dummy positions
+  }
+
+  int64_t ip = 0, fp = 0, off = 0;
+  std::vector<int32_t> slot_count;
+  for (int32_t t = 0; t < padded_rounds; ++t) {
+    const int32_t l_pad = caps_l[t], kk = k_caps[t];
+    int32_t s = 0, e = 0, ls = 0, le = 0;
+    if (t < p->n_rounds) {
+      s = p->round_starts[t];
+      e = p->round_starts[t + 1];
+      ls = p->light_starts[t];
+      le = p->light_starts[t + 1];
+    }
+    const int32_t len = e - s;
+
+    int32_t* head_src = ints + ip;
+    int32_t* light_src = head_src + l_pad;
+    float* heavy_a = floats + fp;
+    float* down_a = heavy_a + l_pad;
+    float* omw2 = down_a + l_pad;
+    float* head_w = omw2 + l_pad;
+    float* light_w = head_w + l_pad;
+    ip += (int64_t)l_pad + (int64_t)kk * l_pad;
+    fp += (int64_t)4 * l_pad + (int64_t)kk * l_pad;
+
+    for (int32_t i = 0; i < l_pad; ++i) {
+      head_src[i] = (int32_t)total;
+      head_w[i] = 0.0f;
+    }
+    for (int64_t i = 0; i < (int64_t)kk * l_pad; ++i) {
+      light_src[i] = (int32_t)total;
+      light_w[i] = 0.0f;
+    }
+    for (int32_t i = 0; i < len; ++i) {
+      int32_t v = p->sorted_nodes[s + i];
+      int32_t hv = p->heavy[v];
+      heavy_a[i] = hv >= 0 ? p->weights[hv] : 0.0f;
+      float pa = v == 0 ? 0.0f : p->weights[v];
+      bool is_head = p->head_of[v] == v;
+      down_a[i] = is_head ? 0.0f : pa;
+      omw2[i] = 1.0f - pa * pa;
+      if (is_head) {
+        head_src[i] = v == 0 ? (int32_t)total : pos_all[p->parent[v]];
+        head_w[i] = pa;
+      }
+    }
+    for (int32_t i = len; i < l_pad; ++i) {
+      heavy_a[i] = 0.0f;
+      down_a[i] = 0.0f;
+      omw2[i] = 1.0f;  // parent_a == 0 on padding -> 1 - 0
+    }
+
+    // Light slots: iterate lights in node order (= NumPy's stable sort by
+    // parent position); the occurrence rank within a position is the slot.
+    slot_count.assign(l_pad, 0);
+    for (int32_t i = ls; i < le; ++i) {
+      int32_t v = p->lights_sorted[i];
+      int32_t pos = p->pos_of[p->parent[v]];
+      int32_t slot = slot_count[pos]++;
+      light_src[(int64_t)slot * l_pad + pos] = pos_all[v];
+      light_w[(int64_t)slot * l_pad + pos] = p->weights[v];
+    }
+    off += l_pad;
+  }
+
+  // perm(total): plan position -> node id (dummy = n).
+  int32_t* perm = ints + ip;
+  {
+    int64_t o = 0;
+    for (int32_t t = 0; t < padded_rounds; ++t) {
+      int32_t s = 0, e = 0;
+      if (t < p->n_rounds) {
+        s = p->round_starts[t];
+        e = p->round_starts[t + 1];
+      }
+      int32_t len = e - s;
+      for (int32_t i = 0; i < len; ++i) perm[o + i] = p->sorted_nodes[s + i];
+      for (int32_t i = len; i < caps_l[t]; ++i) perm[o + i] = n;
+      o += caps_l[t];
+    }
+  }
+  // inv_perm(n): node id -> plan position.
+  int32_t* inv_perm = perm + total;
+  for (int32_t v = 0; v < n; ++v) inv_perm[v] = pos_all[v];
+}
+
+}  // extern "C"

@@ -553,10 +553,26 @@ class PlanOrderPlan:
 
     @staticmethod
     def from_tree(
-        tree: SegmentTree, sigma: float, native: bool = True
+        tree: SegmentTree, sigma: float, native: bool = True,
+        device: bool = True,
     ) -> "PlanOrderPlan":
-        caps, ints, floats = _packed_arrays(tree, sigma, native)
-        return _plan_order_from_packed(tree.num_nodes, caps, ints, floats)
+        """Build the plan. ``native=True`` emits the plan-order buffers
+        directly from the C++ plan core (``gsm_po_plan_*`` — the streaming
+        host hot path); ``native=False`` keeps the two-step NumPy
+        construction as the bit-exact oracle. ``device=False`` leaves the
+        arrays host-side (for :func:`merge_plans`, which concatenates
+        plans before the single upload)."""
+        if native:
+            plan = _plan_order_native(tree, sigma)
+        else:
+            caps, ints, floats = _packed_arrays(tree, sigma, native=False)
+            plan = _plan_order_from_packed(tree.num_nodes, caps, ints, floats)
+        if device:
+            plan = PlanOrderPlan(
+                plan.num_nodes, plan.total_pos, plan.rounds_meta,
+                jnp.asarray(plan.ints), jnp.asarray(plan.floats),
+            )
+        return plan
 
 
 jax.tree_util.register_pytree_node(
@@ -652,7 +668,79 @@ def _plan_order_from_packed(
     )
     return PlanOrderPlan(
         num_nodes=n, total_pos=total, rounds_meta=tuple(metas),
-        ints=jnp.asarray(ints_po), floats=jnp.asarray(floats_po),
+        ints=ints_po, floats=floats_po,
+    )
+
+
+def _plan_order_native(tree: SegmentTree, sigma: float) -> PlanOrderPlan:
+    """One-shot C++ plan-order emission (host arrays; see gsm_po_plan_*)."""
+    import ctypes
+
+    from gpu_stereo_matching_tpu.tree.builder import _lib
+
+    lib = _lib()
+    n = tree.num_nodes
+    weights = tree.parent_weights(sigma).astype(np.float32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+
+    def p32(a):
+        return np.ascontiguousarray(a, np.int32).ctypes.data_as(i32p)
+
+    handle = ctypes.c_void_p(
+        lib.gsm_hpd_plan_new(
+            n, p32(tree.parent), p32(tree.level_of),
+            p32(tree.subtree_size), p32(tree.bfs_order),
+            weights.ctypes.data_as(f32p),
+        )
+    )
+    try:
+        n_rounds = lib.gsm_hpd_plan_rounds(handle)
+        ls = np.empty(n_rounds, np.int32)
+        hs = np.empty(n_rounds, np.int32)
+        ms = np.empty(n_rounds, np.int32)
+        lib.gsm_hpd_plan_sizes(
+            handle, ls.ctypes.data_as(i32p), hs.ctypes.data_as(i32p),
+            ms.ctypes.data_as(i32p),
+        )
+        padded_rounds = _registry_rounds(n, _pow2(n_rounds))
+        needed = [
+            (
+                _pow2(int(ls[t]) + 1),
+                _pow2(max(int(hs[t]), 1)),
+                _pow2(max(int(ms[t]), 1)),
+            )
+            if t < n_rounds
+            else (1, 1, 1)
+            for t in range(padded_rounds)
+        ]
+        caps = _registry_caps(n, padded_rounds, needed)
+
+        k_raw = np.zeros(max(n_rounds, 1), np.int32)
+        lib.gsm_po_plan_k(handle, k_raw.ctypes.data_as(i32p))
+        needed_k = [
+            int(k_raw[t]) if t < n_rounds else 0 for t in range(padded_rounds)
+        ]
+        k_caps = _registry_caps_k(n, padded_rounds, needed_k)
+
+        caps_l = np.array([c[0] for c in caps], np.int32)
+        k_arr = np.array(k_caps, np.int32)
+        total = int(caps_l.sum())
+        ints = np.empty(
+            int(np.sum(caps_l + k_arr * caps_l)) + total + n, np.int32
+        )
+        floats = np.empty(int(np.sum(4 * caps_l + k_arr * caps_l)), np.float32)
+        lib.gsm_po_plan_fill(
+            handle, padded_rounds,
+            caps_l.ctypes.data_as(i32p), k_arr.ctypes.data_as(i32p),
+            ints.ctypes.data_as(i32p), floats.ctypes.data_as(f32p),
+        )
+    finally:
+        lib.gsm_hpd_plan_free(handle)
+    metas = tuple((int(l), int(k)) for l, k in zip(caps_l, k_arr))
+    return PlanOrderPlan(
+        num_nodes=n, total_pos=total, rounds_meta=metas,
+        ints=ints, floats=floats,
     )
 
 
@@ -742,20 +830,21 @@ def stack_plans(plans) -> PlanOrderPlan:
 def converged_plan_batch(trees, sigma: float, native: bool = True) -> PlanOrderPlan:
     """Build one stacked plan for several same-size trees.
 
-    The layout registry is monotone, so the last-built plan sees the
-    merged caps; any earlier plan whose layout is stale is rebuilt once
-    (a pure host-side repack — cheap relative to the tree build).
+    The layout registry is monotone but building a plan can still *grow*
+    it (a tree needing more light rounds moves every same-N plan to a new
+    ``(N, padded_rounds)`` cap key), so a single rebuild of stale plans is
+    not a fixed point. Iterate: rebuild every layout-stale plan until all
+    layouts agree — monotonicity bounds this at a handful of host-side
+    repacks (cheap relative to the tree builds), and after one pass in
+    which no plan grew the registry, all plans see identical caps.
     """
     plans = [PlanOrderPlan.from_tree(t, sigma, native) for t in trees]
-    final = plans[-1]
-    plans = [
-        p
-        if (p.rounds_meta == final.rounds_meta
-            and p.total_pos == final.total_pos)
-        else PlanOrderPlan.from_tree(t, sigma, native)
-        for p, t in zip(plans, trees)
-    ]
-    return stack_plans(plans)
+    for _ in range(8):
+        layouts = {(p.rounds_meta, p.total_pos) for p in plans}
+        if len(layouts) == 1:
+            return stack_plans(plans)
+        plans = [PlanOrderPlan.from_tree(t, sigma, native) for t in trees]
+    raise RuntimeError("plan layouts failed to converge")  # pragma: no cover
 
 
 def tree_filter_nodes_po_batched(
@@ -763,3 +852,127 @@ def tree_filter_nodes_po_batched(
 ) -> jnp.ndarray:
     """Batched aggregation: (B, N, D) costs × stacked plans → (B, N, D)."""
     return jax.vmap(tree_filter_nodes_po)(cost_nodes, plans)
+
+
+def merge_plans(plans) -> PlanOrderPlan:
+    """Merge B same-layout plans into ONE forest plan (host-side).
+
+    Round t of the merged plan is the concatenation of every input plan's
+    round-t block; all plan-position references get the matching offset.
+    The merged plan drives the plain single-frame filter on (B·N, D) costs.
+
+    Measured on v5e (Art, D=60, B=4): ~160 ms/frame steady state and a
+    ~6-minute compile — WORSE than both vmapping stacked plans
+    (~57 ms/frame) and per-frame dispatches (~27 ms compute): the merged
+    formulation's million-row gathers and scans tile poorly. Kept as a
+    correct, tested variant (it is the right shape for workloads that
+    need one logical filter over a forest); the streaming pipeline uses
+    the stacked-vmap dispatch. See ROADMAP.md "negative results".
+
+    Exactness: the filter's recurrences never cross path boundaries
+    (``heavy_a`` is 0 at every path tail, ``down_a`` is 0 at every head),
+    and round blocks are whole paths, so concatenating blocks cannot mix
+    frames. Per-round block lengths are powers of two (registry padding),
+    so for a power-of-two B the associative-scan combine tree restricted
+    to an aligned block is the same as the standalone scan's — results are
+    bit-identical to per-frame filtering (gated in tests).
+    """
+    p0 = plans[0]
+    for p in plans[1:]:
+        if (p.num_nodes, p.total_pos, p.rounds_meta) != (
+            p0.num_nodes, p0.total_pos, p0.rounds_meta
+        ):
+            raise ValueError(
+                "plan layouts diverged; build them via converged_plan_batch"
+            )
+    bsz = len(plans)
+    n = p0.num_nodes
+    total = p0.total_pos
+    ls = np.array([l for l, _ in p0.rounds_meta], np.int64)
+    off = np.concatenate([[0], np.cumsum(ls)])          # old round offsets
+    off2 = np.concatenate([[0], np.cumsum(bsz * ls)])   # merged offsets
+    total2 = bsz * total
+
+    def remap_pos(idx: np.ndarray, b: int) -> np.ndarray:
+        # plan position -> merged plan position (dummy `total` -> `total2`)
+        idx = idx.astype(np.int64)
+        r = np.clip(np.searchsorted(off, idx, side="right") - 1, 0, len(ls) - 1)
+        out = off2[r] + b * ls[r] + (idx - off[r])
+        return np.where(idx == total, total2, out).astype(np.int32)
+
+    unpacked = []  # per plan: (rounds, perm, inv_perm) as host arrays
+    for p in plans:
+        ints = np.asarray(p.ints)
+        floats = np.asarray(p.floats)
+        rounds = []
+        io = fo = 0
+        for (l, k) in p0.rounds_meta:
+            head_src = ints[io : io + l]
+            light_src = ints[io + l : io + l + k * l].reshape(k, l)
+            io += l + k * l
+            fl = floats[fo : fo + 4 * l + k * l]
+            fo += 4 * l + k * l
+            rounds.append((head_src, light_src, fl))
+        perm = ints[io : io + total]
+        inv_perm = ints[io + total : io + total + n]
+        unpacked.append((rounds, perm, inv_perm))
+
+    ints_parts, float_parts, metas = [], [], []
+    perm_parts = []
+    pos = 0
+    for t, (l, k) in enumerate(p0.rounds_meta):
+        hs = np.concatenate(
+            [remap_pos(u[0][t][0], b) for b, u in enumerate(unpacked)]
+        )
+        # light_src: (k, l) per plan -> (k, B·l) merged, k-major flat.
+        if k:
+            lsrc = np.concatenate(
+                [
+                    np.stack(
+                        [remap_pos(row, b) for row in u[0][t][1]]
+                    )
+                    for b, u in enumerate(unpacked)
+                ],
+                axis=1,
+            ).reshape(-1)
+        else:
+            lsrc = np.zeros(0, np.int32)
+        ints_parts += [hs, lsrc]
+        fls = [u[0][t][2] for u in unpacked]
+        # floats per round: heavy_a(l) down_a(l) omw2(l) head_w(l) light_w(k·l)
+        for s in range(4):
+            float_parts.append(
+                np.concatenate([f[s * l : (s + 1) * l] for f in fls])
+            )
+        if k:
+            float_parts.append(
+                np.concatenate(
+                    [f[4 * l :].reshape(k, l) for f in fls], axis=1
+                ).reshape(-1)
+            )
+        metas.append((int(bsz * l), int(k)))
+        # perm: node ids, frame b's ids offset by b·n (dummy n -> B·n).
+        for b, u in enumerate(unpacked):
+            pr = u[1][pos : pos + l].astype(np.int64)
+            perm_parts.append(
+                np.where(pr == n, bsz * n, pr + b * n).astype(np.int32)
+            )
+        pos += l
+    inv_parts = [
+        remap_pos(u[2], b) for b, u in enumerate(unpacked)
+    ]
+    ints_m = np.concatenate(ints_parts + perm_parts + inv_parts)
+    floats_m = np.concatenate(float_parts)
+    return PlanOrderPlan(
+        num_nodes=bsz * n, total_pos=total2, rounds_meta=tuple(metas),
+        ints=ints_m.astype(np.int32), floats=floats_m.astype(np.float32),
+    )
+
+
+def tree_filter_nodes_po_merged(
+    cost_nodes: jnp.ndarray, merged: PlanOrderPlan
+) -> jnp.ndarray:
+    """Batched aggregation via a merged forest plan: (B, N, D) → (B, N, D)."""
+    b, n, d = cost_nodes.shape
+    out = tree_filter_nodes_po(cost_nodes.reshape(b * n, d), merged)
+    return out.reshape(b, n, d)

@@ -168,7 +168,7 @@ def test_batch_pipeline_matches_per_frame(rng):
         )
         for _ in range(5)
     ]
-    pipe = SegmentTreeBatchPipeline(cfg, group_size=3, workers=2)
+    pipe = SegmentTreeBatchPipeline(cfg, group_size=4, workers=2)
     got = list(pipe.process(iter(frames)))
     assert len(got) == 5
     for (l, r), d in zip(frames, got):
@@ -183,3 +183,65 @@ def test_batch_pipeline_empty(rng):
 
     cfg = SegmentTreeConfig(max_disp_levels=4, tau=90.0, min_size_seg=5)
     assert list(SegmentTreeBatchPipeline(cfg).process(iter([]))) == []
+
+
+def _art_crop(y0=120, y1=184, x0=140, x1=268):
+    """A real Art crop (textured region) — near-ties are rare on natural
+    images, so the end-to-end agreement gate can be tight (VERDICT r1:
+    random-noise inputs made the 97% gate loose)."""
+    import os
+
+    from gpu_stereo_matching_tpu.io.images import load_image_bgr
+
+    root = "/root/reference/Images/Art"
+    if not os.path.isdir(root):
+        import pytest
+
+        pytest.skip("reference Middlebury assets unavailable")
+    left = load_image_bgr(os.path.join(root, "view1.png"))
+    right = load_image_bgr(os.path.join(root, "view5.png"))
+    return left[y0:y1, x0:x1], right[y0:y1, x0:x1]
+
+
+def test_st1_real_image_matches_oracle_tightly():
+    left, right = _art_crop()
+    cfg = SegmentTreeConfig(max_disp_levels=24, disparity_scale=4)
+    got = st1_disparity(left, right, cfg)
+    want = _st1_oracle(left, right, cfg)
+    _assert_mostly_equal(got, want, min_agree=0.995)
+
+
+def test_st2_real_image_matches_oracle_tightly():
+    left, right = _art_crop()
+    cfg = SegmentTreeConfig(max_disp_levels=24, disparity_scale=4)
+    got = st2_disparity(left, right, cfg)
+
+    cost_l = oracles.color_grad_cost_volume_oracle(left, right, cfg.max_disp_levels)
+    cost_r = oracles.right_cost_from_left_oracle(cost_l)
+    disp_l = _oracle_aggregate_select(
+        cost_l, color_edge_weights(left), cfg.sigma_one, cfg
+    )
+    disp_r = _oracle_aggregate_select(
+        cost_r, color_edge_weights(right), cfg.sigma_one, cfg
+    )
+    mask = oracles.lr_mask_oracle(
+        disp_l.astype(np.int32), disp_r.astype(np.int32), cfg.lr_max_diff
+    )
+    cost = oracles.color_grad_cost_volume_oracle(left, right, cfg.max_disp_levels)
+    weights = color_depth_edge_weights(
+        left, disp_l, mask, cfg.max_disp_levels, cfg.alpha_dep_seg
+    )
+    disp = _oracle_aggregate_select(cost, weights, cfg.sigma, cfg, weight_scale=255.0)
+    want = np.minimum(disp.astype(np.int32) * cfg.disparity_scale, 255).astype(np.uint8)
+    _assert_mostly_equal(got, want, min_agree=0.995)
+
+
+def test_st1_config3_128_disparities():
+    """Config-3 disparity count (BASELINE.md: ST at 128 levels): the
+    packed plan layouts and the filter's (N, 128) channel width must hold
+    up; gate on tight agreement with the composed oracle on a real crop."""
+    left, right = _art_crop()
+    cfg = SegmentTreeConfig(max_disp_levels=128, disparity_scale=1)
+    got = st1_disparity(left, right, cfg)
+    want = _st1_oracle(left, right, cfg)
+    _assert_mostly_equal(got, want, min_agree=0.995)

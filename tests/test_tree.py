@@ -276,3 +276,47 @@ class TestPlanOrderFilter:
         if p_a.rounds_meta != p_b.rounds_meta or p_a.total_pos != p_b.total_pos:
             with pytest.raises(ValueError):
                 stack_plans([p_a, p_b])
+
+    def test_merged_matches_single(self, rng):
+        """The merged forest plan (one single-frame-shaped filter over
+        B·N positions) is bit-identical to per-frame filtering for a
+        power-of-two batch."""
+        from gpu_stereo_matching_tpu.tree.hpd import (
+            PlanOrderPlan,
+            converged_plan_batch,
+            merge_plans,
+            tree_filter_nodes_po,
+            tree_filter_nodes_po_merged,
+        )
+
+        h, w, d, b = 12, 15, 7, 4
+        trees = [self._tree(rng, h, w) for _ in range(b)]
+        costs = np.stack(
+            [rng.random((h * w, d)).astype(np.float32) for _ in range(b)]
+        )
+        converged_plan_batch(trees, 0.1)  # converge the layout registry
+        plans = [
+            PlanOrderPlan.from_tree(t, 0.1, device=False) for t in trees
+        ]
+        merged = merge_plans(plans)
+        got = np.asarray(
+            tree_filter_nodes_po_merged(jnp.asarray(costs), merged)
+        )
+        for i, t in enumerate(trees):
+            single = np.asarray(
+                tree_filter_nodes_po(
+                    jnp.asarray(costs[i]), PlanOrderPlan.from_tree(t, 0.1)
+                )
+            )
+            np.testing.assert_array_equal(got[i], single)
+
+    def test_merge_rejects_diverged_layouts(self, rng):
+        from gpu_stereo_matching_tpu.tree.hpd import PlanOrderPlan, merge_plans
+
+        t_a = self._tree(rng, 10, 11)
+        t_b = self._tree(rng, 11, 10)
+        p_a = PlanOrderPlan.from_tree(t_a, 0.1, device=False)
+        p_b = PlanOrderPlan.from_tree(t_b, 0.1, device=False)
+        if p_a.rounds_meta != p_b.rounds_meta or p_a.total_pos != p_b.total_pos:
+            with pytest.raises(ValueError):
+                merge_plans([p_a, p_b])
