@@ -65,6 +65,31 @@ def run_micro_benchmarks(
         "h2d_upload": _time(lambda: jnp.asarray(gray).block_until_ready(), iters),
         "d2h_download": _time(lambda: np.asarray(j_gray), iters),
     }
+
+    # Fused vs split-phase block matching (the reference's finished vs
+    # unfinished kernel pair, Device.cu:34-64 vs 67-125): the cost of
+    # materializing the SAD volume in HBM. Fenced by a scalar fetch (the
+    # tunnel's block_until_ready does not fence).
+    from gpu_stereo_matching_tpu.kernels.sad_wta import fused_block_matching
+    from gpu_stereo_matching_tpu.kernels.split_phase import (
+        split_phase_block_matching,
+    )
+
+    j_right = jnp.asarray(
+        rng.integers(0, 256, (height, width), dtype=np.uint8)
+    )
+    results["bm_fused"] = _time(
+        lambda: int(jnp.sum(fused_block_matching(j_gray, j_right, 64, 5))),
+        max(iters // 10, 1),
+    )
+    results["bm_split_phase"] = _time(
+        lambda: int(
+            jnp.sum(split_phase_block_matching(j_gray, j_right, 64, 5))
+        ),
+        max(iters // 10, 1),
+    )
+    for name in ("bm_fused", "bm_split_phase"):
+        print(f"{name:16s} {results[name] * 1e3:9.3f} ms")
     for name, secs in results.items():
         print(f"{name:16s} {secs * 1e3:9.3f} ms")
     return results

@@ -86,18 +86,26 @@ def _sliding_sum(arr, k: int, axis: int):
 
 
 def _sad_one_disparity(
-    lf, rf32, col_t, d, *, radius, tile_h, wp, true_width, invalid_cost
+    lf, rf32, col_t, d, *, radius, tile_h, wp, true_width, invalid_cost,
+    row_counts=None,
 ):
     """Clipped-window SAD map for one disparity (shared by all kernels).
 
     ``lf``/``rf32`` are the int32 halo slabs, ``col_t`` a (tile_h, wp) lane
     iota. Masks are applied post-vertical-sum (see module docstring).
+    ``row_counts`` (tile_h, 1), when given, is the clipped vertical window
+    size per row; invalid columns then sum to ``invalid_cost·count`` exactly
+    as the materialized ops volume does at the global top/bottom rows
+    (needed by the split-phase kernel, whose SAD volume is the product).
+    The fused WTA kernels keep the constant full-window value — cheaper,
+    and bit-identical in the argmin (property-swept in tests).
     """
     k = 2 * radius + 1
     shifted = pltpu.roll(rf32, d, 1)
     diff = jnp.abs(lf - shifted)
     vsum = _sliding_sum(diff, k, axis=0)[0:tile_h, :]
-    vsum = jnp.where(col_t < d, invalid_cost * k, vsum)
+    inv_v = invalid_cost * k if row_counts is None else invalid_cost * row_counts
+    vsum = jnp.where(col_t < d, inv_v, vsum)
     if true_width < wp:
         vsum = jnp.where(col_t < true_width, vsum, 0)
     hp = jnp.pad(vsum, ((0, 0), (radius, radius + k + 1)))
@@ -188,6 +196,11 @@ def _kernel(
     true_width: int,
     invalid_cost: int,
 ):
+    # Single-buffered slab DMA. Double-buffered prefetch (tile i+1's slabs
+    # started before tile i's disparity loop) was measured at 443 fps vs
+    # 448-467 single-buffered @1080p/64d — the two ~77 KB slab copies are
+    # negligible next to the 64-disparity loop, and the traced buffer-slot
+    # indexing costs more than the latency it hides. Recorded in ROADMAP.
     i = pl.program_id(0)
     r = radius
     halo_rows = tile_h + 2 * r

@@ -117,3 +117,23 @@ def test_rig_uses_planned_remap(tmp_path, rng):
     )
     assert rig._remap_plans[0] is not None
     assert rig._remap_plans[1] is not None
+
+
+def test_tiled_and_global_sweep_agree(rng):
+    """The per-tile sweep kernel and the global static sweep produce
+    identical bytes (same taps, same select order per pixel)."""
+    h, w = 96, 200
+    src = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    yy, xx = _grids(h, w)
+    mx = (xx + 5.3 * np.sin(yy / 31.0) + 0.1).astype(np.float32)
+    my = (yy + 2.1 * np.cos(xx / 53.0) - 1.7).astype(np.float32)
+    plan = build_remap_plan(mx, my, src.shape)
+    got_t = np.asarray(
+        remap_bilinear_u8_planned(jnp.asarray(src), plan, interpret=True)
+    )
+    got_g = np.asarray(
+        remap_bilinear_u8_planned(
+            jnp.asarray(src), plan, interpret=True, tiled=False
+        )
+    )
+    np.testing.assert_array_equal(got_t, got_g)
