@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from gpu_stereo_matching_tpu.core.config import SegmentTreeConfig
 from gpu_stereo_matching_tpu.models.segment_tree import (
     _scale_u8,
-    _st1_device_batched_jit,
+    _st1_device_group_jit,
     _st1_device_jit,
 )
 from gpu_stereo_matching_tpu.tree.builder import build_segment_tree, color_edge_weights
@@ -169,7 +169,7 @@ class SegmentTreeBatchPipeline:
 
             while cur_host is not None:
                 lefts, rights, plans, n_real = cur_host
-                out = _st1_device_batched_jit(
+                out = _st1_device_group_jit(
                     jnp.asarray(lefts), jnp.asarray(rights), plans,
                     cfg.max_disp_levels,
                 )

@@ -820,10 +820,17 @@ def stack_plans(plans) -> PlanOrderPlan:
             raise ValueError(
                 "plan layouts diverged; build them via converged_plan_batch"
             )
+    # Stack host-side: jnp.stack on host arrays is an EAGER device op —
+    # one HTTP round trip per op on tunneled backends (CLAUDE.md). The
+    # stacked plan uploads once, at the jit call that consumes it.
+    if all(isinstance(p.ints, np.ndarray) for p in plans):
+        ints = np.stack([p.ints for p in plans])
+        floats = np.stack([p.floats for p in plans])
+    else:
+        ints = jnp.stack([p.ints for p in plans])
+        floats = jnp.stack([p.floats for p in plans])
     return PlanOrderPlan(
-        p0.num_nodes, p0.total_pos, p0.rounds_meta,
-        jnp.stack([p.ints for p in plans]),
-        jnp.stack([p.floats for p in plans]),
+        p0.num_nodes, p0.total_pos, p0.rounds_meta, ints, floats
     )
 
 
@@ -838,12 +845,17 @@ def converged_plan_batch(trees, sigma: float, native: bool = True) -> PlanOrderP
     repacks (cheap relative to the tree builds), and after one pass in
     which no plan grew the registry, all plans see identical caps.
     """
-    plans = [PlanOrderPlan.from_tree(t, sigma, native) for t in trees]
+    plans = [
+        PlanOrderPlan.from_tree(t, sigma, native, device=False) for t in trees
+    ]
     for _ in range(8):
         layouts = {(p.rounds_meta, p.total_pos) for p in plans}
         if len(layouts) == 1:
             return stack_plans(plans)
-        plans = [PlanOrderPlan.from_tree(t, sigma, native) for t in trees]
+        plans = [
+            PlanOrderPlan.from_tree(t, sigma, native, device=False)
+            for t in trees
+        ]
     raise RuntimeError("plan layouts failed to converge")  # pragma: no cover
 
 
