@@ -78,13 +78,25 @@ def run_micro_benchmarks(
     j_right = jnp.asarray(
         rng.integers(0, 256, (height, width), dtype=np.uint8)
     )
+    num_disp = min(64, width)  # tiny test shapes can't cover 64 disparities
+    interpret = jax.default_backend() == "cpu"  # Pallas interpreter off-TPU
     results["bm_fused"] = _time(
-        lambda: int(jnp.sum(fused_block_matching(j_gray, j_right, 64, 5))),
+        lambda: int(
+            jnp.sum(
+                fused_block_matching(
+                    j_gray, j_right, num_disp, 5, interpret=interpret
+                )
+            )
+        ),
         max(iters // 10, 1),
     )
     results["bm_split_phase"] = _time(
         lambda: int(
-            jnp.sum(split_phase_block_matching(j_gray, j_right, 64, 5))
+            jnp.sum(
+                split_phase_block_matching(
+                    j_gray, j_right, num_disp, 5, interpret=interpret
+                )
+            )
         ),
         max(iters // 10, 1),
     )

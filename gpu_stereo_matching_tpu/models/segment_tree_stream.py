@@ -104,10 +104,8 @@ class SegmentTreeBatchPipeline:
         group_size: int = 8,
         workers: int = 2,
     ) -> None:
-        if group_size < 1 or (group_size & (group_size - 1)):
-            # Power of two: merged-plan round blocks stay scan-aligned, so
-            # batched results are bit-identical to per-frame (hpd.merge_plans).
-            raise ValueError("group_size must be a power of two")
+        if group_size < 1:
+            raise ValueError("group_size must be >= 1")
         self.config = config
         self.group_size = group_size
         self.workers = workers

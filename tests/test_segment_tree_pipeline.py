@@ -176,6 +176,29 @@ def test_batch_pipeline_matches_per_frame(rng):
         np.testing.assert_array_equal(d, want)
 
 
+def test_batch_pipeline_odd_group_size(rng):
+    """Non-power-of-two groups are fine: the group dispatch is an unrolled
+    per-frame loop over stacked plans, needing no scan alignment."""
+    from gpu_stereo_matching_tpu.models.segment_tree_stream import (
+        SegmentTreeBatchPipeline,
+    )
+
+    cfg = SegmentTreeConfig(max_disp_levels=5, tau=90.0, min_size_seg=5)
+    frames = [
+        (
+            rng.integers(0, 256, size=(10, 14, 3), dtype=np.uint8),
+            rng.integers(0, 256, size=(10, 14, 3), dtype=np.uint8),
+        )
+        for _ in range(4)
+    ]
+    pipe = SegmentTreeBatchPipeline(cfg, group_size=3, workers=2)
+    got = list(pipe.process(iter(frames)))
+    assert len(got) == 4
+    for (l, r), d in zip(frames, got):
+        want = st1_disparity(l, r, cfg)
+        np.testing.assert_array_equal(d, want)
+
+
 def test_batch_pipeline_empty(rng):
     from gpu_stereo_matching_tpu.models.segment_tree_stream import (
         SegmentTreeBatchPipeline,
