@@ -44,7 +44,7 @@ def run_profile(
     from gpu_stereo_matching_tpu.models.segment_tree_stream import (
         SegmentTreeBatchPipeline,
     )
-    from gpu_stereo_matching_tpu.tree.hpd import PlanOrderPlan, stack_plans
+    from gpu_stereo_matching_tpu.tree.hpd import CodedPlan, stack_coded_plans
     from gpu_stereo_matching_tpu.utils.cache import enable_jit_cache
 
     enable_jit_cache()
@@ -77,18 +77,19 @@ def run_profile(
         if len({(p.rounds_meta, p.total_pos) for p in plans}) == 1:
             break
         plans = [pipe._build_plan(f[0]) for f in frames]
-    stacked = stack_plans(plans)
+    stacked = stack_coded_plans(plans)
     out["plan_ints_mb"] = stacked.ints.nbytes / 1e6
-    out["plan_floats_mb"] = stacked.floats.nbytes / 1e6
+    out["plan_codes_mb"] = stacked.codes.nbytes / 1e6
 
     lefts = np.stack([f[0] for f in frames])
     rights = np.stack([f[1] for f in frames])
     out["images_mb"] = lefts.nbytes * 2 / 1e6
 
     def dev_plan():
-        return PlanOrderPlan(
+        return CodedPlan(
             stacked.num_nodes, stacked.total_pos, stacked.rounds_meta,
-            jax.device_put(stacked.ints), jax.device_put(stacked.floats),
+            jax.device_put(stacked.ints), jax.device_put(stacked.codes),
+            jax.device_put(stacked.table),
         )
 
     # Uploads, fenced.
@@ -126,10 +127,11 @@ def run_profile(
     out["device_ms_per_frame"] = best * 1e3 / group_size
 
     # Single-frame dispatch for comparison.
-    p1 = PlanOrderPlan(
+    p1 = CodedPlan(
         stacked.num_nodes, stacked.total_pos, stacked.rounds_meta,
         jax.device_put(np.asarray(stacked.ints[0])),
-        jax.device_put(np.asarray(stacked.floats[0])),
+        jax.device_put(np.asarray(stacked.codes[0])),
+        jax.device_put(np.asarray(stacked.table)),
     )
     r1 = _st1_device_jit(jl[0], jr[0], p1, cfg.max_disp_levels)
     _fence(r1)

@@ -42,10 +42,12 @@ from gpu_stereo_matching_tpu.tree.builder import (
 )
 from gpu_stereo_matching_tpu.tree.filter import tree_filter_nodes
 from gpu_stereo_matching_tpu.tree.hpd import (
+    CodedPlan,
     HeavyPathPlan,
     PlanOrderPlan,
     tree_filter_nodes_hpd,
     tree_filter_nodes_po,
+    tree_filter_nodes_po_coded,
 )
 
 
@@ -56,7 +58,9 @@ _right_from_left_jit = jax.jit(right_cost_from_left)
 def _filter_wta_median(cost_nodes, plan, shape_hw):
     # cost_nodes: (N, D); returns median-filtered uint8 disparity (H, W).
     h, w = shape_hw
-    if isinstance(plan, PlanOrderPlan):
+    if isinstance(plan, CodedPlan):
+        filtered = tree_filter_nodes_po_coded(cost_nodes, plan)
+    elif isinstance(plan, PlanOrderPlan):
         filtered = tree_filter_nodes_po(cost_nodes, plan)
     elif isinstance(plan, HeavyPathPlan):
         filtered = tree_filter_nodes_hpd(cost_nodes, plan)
@@ -112,10 +116,16 @@ def _st1_device_group(left_b, right_b, plans, num_disp):
     b = left_b.shape[0]
     outs = []
     for g in range(b):
-        plan_g = PlanOrderPlan(
-            plans.num_nodes, plans.total_pos, plans.rounds_meta,
-            plans.ints[g], plans.floats[g],
-        )
+        if isinstance(plans, CodedPlan):
+            plan_g = CodedPlan(
+                plans.num_nodes, plans.total_pos, plans.rounds_meta,
+                plans.ints[g], plans.codes[g], plans.table,
+            )
+        else:
+            plan_g = PlanOrderPlan(
+                plans.num_nodes, plans.total_pos, plans.rounds_meta,
+                plans.ints[g], plans.floats[g],
+            )
         cost = color_gradient_cost_volume(left_b[g], right_b[g], num_disp)
         d, h, w = cost.shape
         outs.append(_filter_wta_median(_to_nodes(cost), plan_g, (h, w)))
@@ -171,9 +181,10 @@ def _aggregate_select(
         tau=cfg.tau, min_size=cfg.min_size_seg, penalty=cfg.penalty_cross_seg,
         weight_scale=weight_scale,
     )
-    # Plan-order heavy-path plan: O(log²N)-depth scans, scatter-free (so
-    # it batches/shards; see tree/hpd.py).
-    plan = PlanOrderPlan.from_tree(tree, sigma)
+    # Coded plan-order heavy-path plan: O(log²N)-depth scans, scatter-free
+    # (so it batches/shards) with the float payload shipped as u8 codes
+    # (see tree/hpd.py CodedPlan).
+    plan = CodedPlan.from_tree(tree, sigma)
     return np.asarray(_filter_wta_median_jit(_to_nodes(cost), plan, (h, w)))
 
 
@@ -195,7 +206,7 @@ def st1_disparity(
         tau=config.tau, min_size=config.min_size_seg,
         penalty=config.penalty_cross_seg, weight_scale=1.0,
     )
-    plan = PlanOrderPlan.from_tree(tree, config.sigma)
+    plan = CodedPlan.from_tree(tree, config.sigma)
     disp = np.asarray(
         _st1_device_jit(
             jnp.asarray(left_bgr), jnp.asarray(right_bgr), plan,

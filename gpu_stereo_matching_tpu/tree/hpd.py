@@ -810,6 +810,244 @@ def tree_filter_nodes_po(
     return f_buf[inv_perm]
 
 
+# ---------------------------------------------------------------------------
+# Coded plan: the float payload of a PlanOrderPlan compressed to two u8
+# streams. Every float field the filter consumes derives from the per-plan-
+# position parent edge weight w[i] = exp(-dist/(255σ)) plus an is-head bit
+# (the reference's weight LUT, ``STMatching/SegmentTree.cpp:141-146``):
+#
+#     down_a[i]  = is_head[i] ? 0 : w[i]
+#     heavy_a[i] = down_a[i+1]            (next-in-path parent weight)
+#     omw2[i]    = 1 - w[i]²
+#     head_w[i]  = is_head[i] ? w[i] : 0
+#     light_w[k][i] = w[light_src[k][i]]  (the child's own parent weight)
+#
+# so instead of uploading 4·total + K·total f32 per frame, we upload one u8
+# distance code + one u8 flag per position (~11× fewer float-side bytes) and
+# reconstruct on device through an exact 256-entry LUT. The light weights
+# never materialize: the upward pass writes w·s rows alongside s, and the
+# light gather pulls from that premultiplied buffer — the same two f32
+# operands multiplied in the same order, so results stay bit-identical to
+# :func:`tree_filter_nodes_po` (gated by tests/test_tree.py).
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class CodedPlan:
+    """Plan-order plan with u8-coded float payload.
+
+    ``ints`` layout is identical to :class:`PlanOrderPlan`. ``codes`` is
+    ``(2, total)`` u8: row 0 the parent-distance code per plan position,
+    row 1 flags (bit0 = is_head, bit1 = force-zero weight — root and
+    padding rows). ``table`` is the shared 256-entry f32 weight LUT for
+    the plan's σ (tiny; uploaded once per config).
+    """
+
+    num_nodes: int
+    total_pos: int
+    rounds_meta: Tuple[Tuple[int, int], ...]
+    ints: jnp.ndarray
+    codes: jnp.ndarray
+    table: jnp.ndarray
+
+    @staticmethod
+    def from_tree(
+        tree: SegmentTree, sigma: float, native: bool = True,
+        device: bool = True,
+    ) -> "CodedPlan":
+        plan = PlanOrderPlan.from_tree(tree, sigma, native=native, device=False)
+        return code_plan(plan, tree, sigma, device=device)
+
+
+jax.tree_util.register_pytree_node(
+    CodedPlan,
+    lambda p: (
+        (p.ints, p.codes, p.table),
+        (p.num_nodes, p.total_pos, p.rounds_meta),
+    ),
+    lambda aux, ch: CodedPlan(aux[0], aux[1], aux[2], ch[0], ch[1], ch[2]),
+)
+
+
+def weight_lut(sigma: float) -> np.ndarray:
+    """(256, 2) f32 LUT: column 0 the weight per distance code (must match
+    ``parent_weights``), column 1 the matching ``1 - w²``. The second
+    column is tabulated on the HOST because the plan emitters compute it
+    as two separate f32 ops — a device-side ``1 - w*w`` may contract into
+    an FMA and drift by an ulp."""
+    sigma = max(0.01, float(sigma))
+    w = np.exp(
+        -np.arange(256, dtype=np.float64) / (255.0 * sigma)
+    ).astype(np.float32)
+    return np.stack([w, (1.0 - w * w).astype(np.float32)], axis=1)
+
+
+def code_plan(
+    plan: PlanOrderPlan, tree: SegmentTree, sigma: float, device: bool = True
+) -> CodedPlan:
+    """Derive the u8 code streams from a host-side plan (NumPy in/out).
+
+    ``is_head`` falls out of ``down_a == 0``: real-node weights are always
+    nonzero f32 (exp(-d/(255σ)) with d ≤ 255, σ ≥ 0.01 stays above the f32
+    subnormal floor), so a zero down_a means head or padding.
+    """
+    if not isinstance(plan.ints, np.ndarray):
+        raise TypeError("code_plan needs a host-side plan (device=False)")
+    n, total = plan.num_nodes, plan.total_pos
+    io = sum(l + k * l for (l, k) in plan.rounds_meta)
+    perm = plan.ints[io : io + total]
+    down_a = np.concatenate(
+        [
+            plan.floats[fo + l : fo + 2 * l]
+            for fo, l in _float_round_offsets(plan.rounds_meta)
+        ]
+    )
+    pad = perm == n
+    pd = np.where(pad, 0, tree.parent_dist[np.minimum(perm, n - 1)])
+    is_head = (down_a == 0.0) & ~pad
+    zero_w = pad | (perm == 0)
+    codes = np.stack(
+        [pd.astype(np.uint8), (is_head + 2 * zero_w).astype(np.uint8)]
+    )
+    table = weight_lut(sigma)
+    cp = CodedPlan(n, total, plan.rounds_meta, plan.ints, codes, table)
+    if device:
+        cp = CodedPlan(
+            n, total, plan.rounds_meta,
+            jnp.asarray(cp.ints), jnp.asarray(cp.codes), jnp.asarray(table),
+        )
+    return cp
+
+
+def _float_round_offsets(rounds_meta):
+    fo = 0
+    for (l, k) in rounds_meta:
+        yield fo, l
+        fo += 4 * l + k * l
+
+
+def _unpack_po_ints(ints, rounds_meta, total, n):
+    """Per-round (head_src, light_src) views + (perm, inv_perm, offsets)."""
+    rounds, offs = [], []
+    io = 0
+    off = 0
+    for (l, k) in rounds_meta:
+        head_src = ints[io : io + l]
+        light_src = ints[io + l : io + l + k * l].reshape(k, l)
+        io += l + k * l
+        rounds.append((head_src, light_src))
+        offs.append(off)
+        off += l
+    perm = ints[io : io + total]
+    inv_perm = ints[io + total : io + total + n]
+    return rounds, offs, perm, inv_perm
+
+
+def _exact_lut(idx: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray:
+    """table[idx] for u8 codes and a (256, C) table, EXACT on the VPU.
+
+    Two-level 16×16 one-hot contraction: each step sums one table value
+    with zeros and multiplies by 0/1, so every intermediate is exact in
+    f32 — no gather op (XLA scalar-loop hazard) and no MXU rounding.
+    """
+    i32 = idx.astype(jnp.int32)
+    hi = i32 >> 4
+    lo = i32 & 15
+    c = table.shape[1]
+    t2 = table.reshape(16, 16 * c)
+    sel = jax.lax.broadcasted_iota(jnp.int32, (1, 16), 1)
+    oh_hi = (hi[:, None] == sel).astype(table.dtype)
+    oh_lo = (lo[:, None] == sel).astype(table.dtype)
+    rows = jax.lax.dot_general(
+        oh_hi, t2, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    ).reshape(-1, 16, c)
+    return jnp.sum(rows * oh_lo[:, :, None], axis=1)
+
+
+def _reconstruct_po_fields(codes: jnp.ndarray, table: jnp.ndarray):
+    """(w, heavy_a, down_a, omw2, head_w) per plan position from codes."""
+    pd = codes[0]
+    flags = codes[1].astype(jnp.int32)
+    vals = _exact_lut(pd, table)
+    zero = (flags & 2) != 0
+    w = jnp.where(zero, jnp.zeros_like(vals[:, 0]), vals[:, 0])
+    omw2 = jnp.where(zero, jnp.ones_like(vals[:, 1]), vals[:, 1])
+    is_head = (flags & 1) != 0
+    down_a = jnp.where(is_head, jnp.zeros_like(w), w)
+    heavy_a = jnp.concatenate([down_a[1:], jnp.zeros((1,), w.dtype)])
+    head_w = jnp.where(is_head, w, jnp.zeros_like(w))
+    return w, heavy_a, down_a, omw2, head_w
+
+
+def tree_filter_nodes_po_coded(
+    cost_nodes: jnp.ndarray, plan: CodedPlan
+) -> jnp.ndarray:
+    """Exact (N, D) aggregation from a coded plan — bit-identical to
+    :func:`tree_filter_nodes_po` on the equivalent uncoded plan."""
+    d = cost_nodes.shape[1]
+    dt = cost_nodes.dtype
+    total = plan.total_pos
+    cost_ext = jnp.concatenate([cost_nodes, jnp.zeros((1, d), dt)], axis=0)
+    rounds, offs, perm, inv_perm = _unpack_po_ints(
+        plan.ints, plan.rounds_meta, total, plan.num_nodes
+    )
+    w, heavy_a, down_a, omw2, head_w = _reconstruct_po_fields(
+        plan.codes, plan.table
+    )
+    cost_plan = cost_ext[perm]
+
+    s_buf = jnp.zeros((total + 1, d), dt)
+    ws_buf = jnp.zeros((total + 1, d), dt)  # w[i]·s[i] rows for light pulls
+    for off, (l, _kk), (_hs, light_src) in reversed(
+        list(zip(offs, plan.rounds_meta, rounds))
+    ):
+        b = jax.lax.dynamic_slice(cost_plan, (off, 0), (l, d))
+        for k in range(light_src.shape[0]):
+            b = b + ws_buf[light_src[k]]
+        a = heavy_a[off : off + l][:, None] * jnp.ones((1, 1), dt)
+        _, s = jax.lax.associative_scan(_combine, (a, b), reverse=True,
+                                        axis=0)
+        s_buf = jax.lax.dynamic_update_slice(s_buf, s, (off, 0))
+        ws_buf = jax.lax.dynamic_update_slice(
+            ws_buf, w[off : off + l][:, None] * s, (off, 0)
+        )
+
+    f_buf = jnp.zeros((total + 1, d), dt)
+    for off, (l, _kk), (head_src, _ls) in zip(offs, plan.rounds_meta, rounds):
+        s_t = jax.lax.dynamic_slice(s_buf, (off, 0), (l, d))
+        b = omw2[off : off + l][:, None] * s_t \
+            + head_w[off : off + l][:, None] * f_buf[head_src]
+        a = down_a[off : off + l][:, None] * jnp.ones((1, 1), dt)
+        _, f = jax.lax.associative_scan(_combine, (a, b), axis=0)
+        f_buf = jax.lax.dynamic_update_slice(f_buf, f, (off, 0))
+
+    return f_buf[inv_perm]
+
+
+def stack_coded_plans(plans) -> CodedPlan:
+    """Stack same-layout coded plans (shared table, batched ints/codes)."""
+    p0 = plans[0]
+    for p in plans[1:]:
+        if (p.num_nodes, p.total_pos, p.rounds_meta) != (
+            p0.num_nodes, p0.total_pos, p0.rounds_meta
+        ):
+            raise ValueError(
+                "plan layouts diverged; build them via converged_plan_batch"
+            )
+        if not np.array_equal(np.asarray(p.table), np.asarray(p0.table)):
+            raise ValueError("coded plans must share one weight table (σ)")
+    if all(isinstance(p.ints, np.ndarray) for p in plans):
+        ints = np.stack([p.ints for p in plans])
+        codes = np.stack([p.codes for p in plans])
+    else:
+        ints = jnp.stack([p.ints for p in plans])
+        codes = jnp.stack([p.codes for p in plans])
+    return CodedPlan(
+        p0.num_nodes, p0.total_pos, p0.rounds_meta, ints, codes, p0.table
+    )
+
+
 def stack_plans(plans) -> PlanOrderPlan:
     """Stack same-layout plans into one batched plan (leading B axis)."""
     p0 = plans[0]

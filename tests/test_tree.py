@@ -3,6 +3,7 @@
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from gpu_stereo_matching_tpu.tree.builder import (
@@ -262,6 +263,112 @@ class TestPlanOrderFilter:
             single = np.asarray(
                 tree_filter_nodes_po(
                     jnp.asarray(costs[i]), PlanOrderPlan.from_tree(t, 0.1)
+                )
+            )
+            np.testing.assert_array_equal(got[i], single)
+
+    @pytest.mark.parametrize("hw", [(7, 9), (16, 21), (1, 8), (23, 31)])
+    def test_coded_matches_po_bitwise(self, rng, hw):
+        """The u8-coded plan reproduces the plan-order filter EXACTLY —
+        same gathers, same scan operands (tree/hpd.py CodedPlan)."""
+        from gpu_stereo_matching_tpu.tree.hpd import (
+            CodedPlan,
+            PlanOrderPlan,
+            tree_filter_nodes_po,
+            tree_filter_nodes_po_coded,
+        )
+
+        h, w = hw
+        tree = self._tree(rng, h, w)
+        cost = rng.random((h * w, 6)).astype(np.float32)
+        want = np.asarray(
+            tree_filter_nodes_po(
+                jnp.asarray(cost), PlanOrderPlan.from_tree(tree, 0.1)
+            )
+        )
+        got = np.asarray(
+            tree_filter_nodes_po_coded(
+                jnp.asarray(cost), CodedPlan.from_tree(tree, 0.1)
+            )
+        )
+        np.testing.assert_array_equal(got, want)
+
+    def test_coded_fields_reconstruct_bitwise(self, rng):
+        """Device-side field reconstruction from codes reproduces every
+        float the uncoded plan carries, bit for bit."""
+        from gpu_stereo_matching_tpu.tree.hpd import (
+            CodedPlan,
+            PlanOrderPlan,
+            _reconstruct_po_fields,
+            _unpack_po,
+        )
+
+        tree = self._tree(rng, 14, 19)
+        plan = PlanOrderPlan.from_tree(tree, 0.1, device=False)
+        coded = CodedPlan.from_tree(tree, 0.1, device=False)
+        _w, heavy_a, down_a, omw2, head_w = jax.jit(_reconstruct_po_fields)(
+            jnp.asarray(coded.codes), jnp.asarray(coded.table)
+        )
+        dev = PlanOrderPlan(
+            plan.num_nodes, plan.total_pos, plan.rounds_meta,
+            jnp.asarray(plan.ints), jnp.asarray(plan.floats),
+        )
+        rounds, offs, _perm, _inv = _unpack_po(dev)
+        for off, (l, _k), (_hs, _ls, r_heavy, r_down, r_omw2, r_headw,
+                           _lw) in zip(offs, plan.rounds_meta, rounds):
+            np.testing.assert_array_equal(
+                np.asarray(heavy_a[off : off + l]), np.asarray(r_heavy)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(down_a[off : off + l]), np.asarray(r_down)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(omw2[off : off + l]), np.asarray(r_omw2)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(head_w[off : off + l]), np.asarray(r_headw)
+            )
+
+    def test_exact_lut(self):
+        """The two-level one-hot LUT is exact for every code."""
+        from gpu_stereo_matching_tpu.tree.hpd import _exact_lut, weight_lut
+
+        table = weight_lut(0.1)
+        got = np.asarray(
+            jax.jit(_exact_lut)(
+                jnp.arange(256, dtype=jnp.uint8), jnp.asarray(table)
+            )
+        )
+        np.testing.assert_array_equal(got, table)
+
+    def test_coded_batched_matches_single(self, rng):
+        from gpu_stereo_matching_tpu.tree.hpd import (
+            CodedPlan,
+            stack_coded_plans,
+            tree_filter_nodes_po_coded,
+        )
+
+        h, w, d, b = 12, 15, 7, 3
+        trees = [self._tree(rng, h, w) for _ in range(b)]
+        costs = np.stack(
+            [rng.random((h * w, d)).astype(np.float32) for _ in range(b)]
+        )
+        plans = [CodedPlan.from_tree(t, 0.1, device=False) for t in trees]
+        for _ in range(4):
+            if len({(p.rounds_meta, p.total_pos) for p in plans}) == 1:
+                break
+            plans = [CodedPlan.from_tree(t, 0.1, device=False) for t in trees]
+        stacked = stack_coded_plans(plans)
+        got = np.asarray(
+            jax.vmap(tree_filter_nodes_po_coded, in_axes=(0, CodedPlan(
+                stacked.num_nodes, stacked.total_pos, stacked.rounds_meta,
+                0, 0, None,
+            )))(jnp.asarray(costs), stacked)
+        )
+        for i, t in enumerate(trees):
+            single = np.asarray(
+                tree_filter_nodes_po_coded(
+                    jnp.asarray(costs[i]), CodedPlan.from_tree(t, 0.1)
                 )
             )
             np.testing.assert_array_equal(got[i], single)
