@@ -74,7 +74,7 @@ def run_profile(
         (time.perf_counter() - t0) / group_size * 1e3
     )
     for _ in range(4):  # converge layouts
-        if len({(p.rounds_meta, p.total_pos) for p in plans}) == 1:
+        if len({p.layout_key for p in plans}) == 1:
             break
         plans = [pipe._build_plan(f[0]) for f in frames]
     stacked = stack_coded_plans(plans)
@@ -89,7 +89,8 @@ def run_profile(
         return CodedPlan(
             stacked.num_nodes, stacked.total_pos, stacked.rounds_meta,
             jax.device_put(stacked.ints), jax.device_put(stacked.codes),
-            jax.device_put(stacked.table),
+            jax.device_put(stacked.table), stacked.scan_steps,
+            stacked.n_real,
         )
 
     # Uploads, fenced.
@@ -132,6 +133,7 @@ def run_profile(
         jax.device_put(np.asarray(stacked.ints[0])),
         jax.device_put(np.asarray(stacked.codes[0])),
         jax.device_put(np.asarray(stacked.table)),
+        stacked.scan_steps, stacked.n_real,
     )
     r1 = _st1_device_jit(jl[0], jr[0], p1, cfg.max_disp_levels)
     _fence(r1)

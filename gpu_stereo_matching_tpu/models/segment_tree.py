@@ -120,6 +120,7 @@ def _st1_device_group(left_b, right_b, plans, num_disp):
             plan_g = CodedPlan(
                 plans.num_nodes, plans.total_pos, plans.rounds_meta,
                 plans.ints[g], plans.codes[g], plans.table,
+                plans.scan_steps, plans.n_real,
             )
         else:
             plan_g = PlanOrderPlan(

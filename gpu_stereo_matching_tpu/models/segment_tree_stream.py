@@ -133,7 +133,7 @@ class SegmentTreeBatchPipeline:
         # Converge layouts to a fixed point (the registry is monotone, but
         # a build can grow it — see tree.hpd.converged_plan_batch).
         for _ in range(8):
-            if len({(p.rounds_meta, p.total_pos) for p in plans}) == 1:
+            if len({p.layout_key for p in plans}) == 1:
                 break
             plans = list(pool.map(self._build_plan, [f[0] for f in padded]))
         return lefts, rights, stack_coded_plans(plans), n_real

@@ -22,19 +22,28 @@ from gpu_stereo_matching_tpu.ops.color import gradient_x
 
 
 def _shifted_right(right: jnp.ndarray, num_disparities: int) -> jnp.ndarray:
-    """Gather ``right[..., x - d]`` (clamped at the left edge) → (D, ..., W).
+    """``right[..., x - d]`` (clamped at the left edge) → (D, ..., W).
 
     The clamp implements the reference's left-edge column replication
     (``StereoHelper.cpp:102-111``); callers that need out-of-range marking
     mask with ``x >= d`` themselves.
+
+    D is static, so this is one edge-replicating pad plus D STATIC slices —
+    XLA fuses them; the equivalent ``jnp.take`` with a (D, W) index lowers
+    to a per-lane gather loop on TPU (~10 ms/frame at Middlebury size).
     """
     w = right.shape[-1]
-    x = jnp.arange(w)
-    d = jnp.arange(num_disparities)
-    src = jnp.clip(x[None, :] - d[:, None], 0, w - 1)  # (D, W)
-    # right: (..., W), index (D, W) on the last axis → (..., D, W); move D first.
-    gathered = jnp.take(right, src, axis=-1)  # (..., D, W)
-    return jnp.moveaxis(gathered, -2, 0)
+    if num_disparities == 1:
+        return right[None]
+    pad = jnp.broadcast_to(
+        right[..., :1], right.shape[:-1] + (num_disparities - 1,)
+    )
+    padded = jnp.concatenate([pad, right], axis=-1)
+    base = num_disparities - 1
+    return jnp.stack(
+        [padded[..., base - d : base - d + w] for d in range(num_disparities)],
+        axis=0,
+    )
 
 
 def ad_cost_volume(

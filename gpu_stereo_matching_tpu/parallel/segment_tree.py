@@ -15,14 +15,23 @@ Why this composes: the cost volume (color+gradient,
 costs computed from band crops are bit-identical to slices of the global
 cost volume. Edge weights / trees / the median *do* have vertical extent,
 and each shard computes them from its own band crop — exactly the
-semantics of :func:`models.segment_tree_tiled.st1_disparity_tiled`, which
-this module matches bit-for-bit (tested on the 8-device CPU mesh).
+semantics of :mod:`models.segment_tree_tiled`, which this module matches
+bit-for-bit (tested on the 8-device CPU mesh).
 
-Device-side execution uses the scatter-free plan-order filter
-(:func:`tree.hpd.tree_filter_nodes_po`): per-band plans are layout-converged
-(:func:`tree.hpd.converged_plan_batch`) so all shards run the SAME static
-program — one compile, no per-band recompilation — and the plan tensors ship
-as two stacked flat arrays sharded over ``space``.
+Device-side execution uses the scatter-free coded plan-order filter
+(:func:`tree.hpd.tree_filter_nodes_po_coded`): per-band plans are
+layout-converged (:func:`tree.hpd.converged_coded_batch`) so all shards run
+the SAME static program — one compile, no per-band recompilation — and the
+plan tensors ship as stacked flat arrays sharded over ``space`` (the u8
+code stream instead of the f32 payload — ~2× less plan traffic per band).
+
+ST-2 (``STMatching/StereoDisparity.cpp:91-159``) distributes as TWO sharded
+dispatches with one host stage between them, mirroring the reference's own
+host-sequenced iteration: phase A filters both views with per-view σ₁
+trees and derives the LR-stability mask on-device; the host then builds
+each band's color+depth re-segmentation tree from phase A's outputs (the
+tree build is host C++ everywhere in this framework); phase B filters the
+fresh cost volume through the rebuilt trees.
 """
 
 from __future__ import annotations
@@ -38,8 +47,36 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from gpu_stereo_matching_tpu.core.config import SegmentTreeConfig
 from gpu_stereo_matching_tpu.core.validation import check_bgr_pair
-from gpu_stereo_matching_tpu.tree.builder import build_segment_tree, color_edge_weights
-from gpu_stereo_matching_tpu.tree.hpd import PlanOrderPlan, converged_plan_batch
+from gpu_stereo_matching_tpu.tree.builder import (
+    build_segment_tree,
+    color_depth_edge_weights,
+    color_edge_weights,
+)
+from gpu_stereo_matching_tpu.tree.hpd import CodedPlan, converged_coded_batch
+
+
+def _band_trees(img_bgr: np.ndarray, num_bands: int, config: SegmentTreeConfig,
+                weights_per_band=None, weight_scale: float = 1.0):
+    h, w = img_bgr.shape[:2]
+    if h % num_bands:
+        raise ValueError(f"H={h} must divide into {num_bands} equal bands")
+    hb = h // num_bands
+    trees = []
+    for t in range(num_bands):
+        band = img_bgr[t * hb : (t + 1) * hb]
+        weights = (
+            color_edge_weights(band)
+            if weights_per_band is None
+            else weights_per_band[t]
+        )
+        trees.append(
+            build_segment_tree(
+                weights, hb, w,
+                tau=config.tau, min_size=config.min_size_seg,
+                penalty=config.penalty_cross_seg, weight_scale=weight_scale,
+            )
+        )
+    return trees
 
 
 def build_band_plans(
@@ -47,48 +84,43 @@ def build_band_plans(
     num_bands: int,
     config: SegmentTreeConfig,
     sigma: Optional[float] = None,
-) -> PlanOrderPlan:
+) -> CodedPlan:
     """Host stage: one segment tree per equal-height band → stacked plan.
 
     Weights come from each band's crop (3×3-median presmooth and all), the
-    same per-band semantics as ``st1_disparity_tiled``. The stacked plan has
-    a leading ``num_bands`` axis on ``ints``/``floats`` and one shared
-    static layout (registry-converged), so it shards over ``space`` without
-    per-shard recompilation.
+    same per-band semantics as ``st1_disparity_tiled``. The stacked coded
+    plan has a leading ``num_bands`` axis on ``ints``/``codes`` and one
+    shared static layout (registry-converged), so it shards over ``space``
+    without per-shard recompilation.
     """
-    h, w = left_bgr.shape[:2]
-    if h % num_bands:
-        raise ValueError(f"H={h} must divide into {num_bands} equal bands")
-    hb = h // num_bands
-    trees = []
-    for t in range(num_bands):
-        band = left_bgr[t * hb : (t + 1) * hb]
-        weights = color_edge_weights(band)
-        trees.append(
-            build_segment_tree(
-                weights, hb, w,
-                tau=config.tau, min_size=config.min_size_seg,
-                penalty=config.penalty_cross_seg, weight_scale=1.0,
-            )
-        )
-    return converged_plan_batch(trees, config.sigma if sigma is None else sigma)
+    trees = _band_trees(left_bgr, num_bands, config)
+    return converged_coded_batch(
+        trees, config.sigma if sigma is None else sigma
+    )
+
+
+def _plan_key(plan: CodedPlan):
+    return (
+        plan.num_nodes, plan.total_pos, plan.rounds_meta, plan.scan_steps,
+        plan.n_real,
+    )
+
+
+def _local_plan(key, ints, codes, table) -> CodedPlan:
+    n, total, meta, steps, n_real = key
+    return CodedPlan(n, total, meta, ints[0], codes[0], table, steps, n_real)
 
 
 @functools.lru_cache(maxsize=8)
-def _sharded_st1_step(
-    mesh: Mesh,
-    num_disp: int,
-    num_nodes: int,
-    total_pos: int,
-    rounds_meta: Tuple[Tuple[int, int], ...],
-):
+def _sharded_st1_step(mesh: Mesh, num_disp: int, plan_key):
     """Compile the one-dispatch sharded ST-1 device step.
 
-    Signature: ``(left_bands, right_bands, plan_ints, plan_floats) →
-    (num_bands, hb, W) uint8`` with everything sharded ``P('space', …)``.
-    Each shard runs cost volume → plan-order filter → WTA → 7×7 median on
-    its band. Cached per (mesh, static plan layout): frames of a video with
-    registry-converged plans reuse one executable.
+    Signature: ``(left_bands, right_bands, plan_ints, plan_codes, table) →
+    (num_bands, hb, W) uint8`` with bands and plans sharded ``P('space', …)``
+    and the tiny weight table replicated. Each shard runs cost volume →
+    coded filter → WTA → 7×7 median on its band. Cached per (mesh, static
+    plan layout): frames of a video with registry-converged plans reuse one
+    executable.
     """
     from gpu_stereo_matching_tpu.models.segment_tree import (
         _filter_wta_median,
@@ -96,11 +128,8 @@ def _sharded_st1_step(
     )
     from gpu_stereo_matching_tpu.ops.cost import color_gradient_cost_volume
 
-    def local_step(left, right, ints, floats):
-        # Shard shapes: (1, hb, W, 3), (1, hb, W, 3), (1, Pi), (1, Pf).
-        plan = PlanOrderPlan(
-            num_nodes, total_pos, rounds_meta, ints[0], floats[0]
-        )
+    def local_step(left, right, ints, codes, table):
+        plan = _local_plan(plan_key, ints, codes, table)
         cost = color_gradient_cost_volume(left[0], right[0], num_disp)
         d, hb, w = cost.shape
         disp = _filter_wta_median(_to_nodes(cost), plan, (hb, w))
@@ -113,7 +142,8 @@ def _sharded_st1_step(
             P("space", None, None, None),
             P("space", None, None, None),
             P("space", None),
-            P("space", None),
+            P("space", None, None),
+            P(None, None),
         ),
         out_specs=P("space", None, None),
         check_vma=False,
@@ -121,12 +151,32 @@ def _sharded_st1_step(
     return jax.jit(sharded)
 
 
+def _put_bands(mesh: Mesh, img: np.ndarray, n_space: int):
+    h, w = img.shape[:2]
+    hb = h // n_space
+    band_sh = NamedSharding(mesh, P("space", None, None, None))
+    return jax.device_put(
+        np.ascontiguousarray(img.reshape(n_space, hb, w, 3)), band_sh
+    )
+
+
+def _put_plan(mesh: Mesh, plan: CodedPlan):
+    plan_sh = NamedSharding(mesh, P("space", None))
+    codes_sh = NamedSharding(mesh, P("space", None, None))
+    rep = NamedSharding(mesh, P(None, None))
+    return (
+        jax.device_put(plan.ints, plan_sh),
+        jax.device_put(plan.codes, codes_sh),
+        jax.device_put(np.asarray(plan.table), rep),
+    )
+
+
 def st1_disparity_sharded(
     left_bgr: np.ndarray,
     right_bgr: np.ndarray,
     mesh: Mesh,
     config: SegmentTreeConfig = SegmentTreeConfig(),
-    plan: Optional[PlanOrderPlan] = None,
+    plan: Optional[CodedPlan] = None,
 ) -> np.ndarray:
     """ST-1 with per-band trees executed across the ``space`` axis → (H, W) u8.
 
@@ -139,22 +189,125 @@ def st1_disparity_sharded(
     h, w = left_bgr.shape[:2]
     if plan is None:
         plan = build_band_plans(left_bgr, n_space, config)
+    step = _sharded_st1_step(mesh, config.max_disp_levels, _plan_key(plan))
+    lb = _put_bands(mesh, left_bgr, n_space)
+    rb = _put_bands(mesh, right_bgr, n_space)
+    disp = np.asarray(step(lb, rb, *_put_plan(mesh, plan))).reshape(h, w)
+    return np.minimum(
+        disp.astype(np.int32) * config.disparity_scale, 255
+    ).astype(np.uint8)
+
+
+@functools.lru_cache(maxsize=8)
+def _sharded_st2_phase_a(
+    mesh: Mesh, num_disp: int, lr_max_diff: int, key_l, key_r
+):
+    """Phase A: per-view σ₁ filtering + LR mask, one sharded dispatch.
+
+    Returns per band the left median-filtered disparity and the LR
+    stability mask — the two inputs the host needs to rebuild each band's
+    color+depth tree (``StereoDisparity.cpp:91-130``).
+    """
+    from gpu_stereo_matching_tpu.models.segment_tree import (
+        _filter_wta_median,
+        _to_nodes,
+    )
+    from gpu_stereo_matching_tpu.ops.cost import (
+        color_gradient_cost_volume,
+        right_cost_from_left,
+    )
+    from gpu_stereo_matching_tpu.ops.postprocess import lr_consistency_mask
+
+    def local_step(left, right, ints_l, codes_l, tab_l, ints_r, codes_r,
+                   tab_r):
+        plan_l = _local_plan(key_l, ints_l, codes_l, tab_l)
+        plan_r = _local_plan(key_r, ints_r, codes_r, tab_r)
+        cost_l = color_gradient_cost_volume(left[0], right[0], num_disp)
+        cost_r = right_cost_from_left(cost_l)
+        d, hb, w = cost_l.shape
+        disp_l = _filter_wta_median(_to_nodes(cost_l), plan_l, (hb, w))
+        disp_r = _filter_wta_median(_to_nodes(cost_r), plan_r, (hb, w))
+        mask = lr_consistency_mask(
+            disp_l.astype(jnp.int32), disp_r.astype(jnp.int32), lr_max_diff
+        )
+        return disp_l[None], mask[None]
+
+    sharded = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(
+            P("space", None, None, None),
+            P("space", None, None, None),
+            P("space", None), P("space", None, None), P(None, None),
+            P("space", None), P("space", None, None), P(None, None),
+        ),
+        out_specs=(P("space", None, None), P("space", None, None)),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def st2_disparity_sharded(
+    left_bgr: np.ndarray,
+    right_bgr: np.ndarray,
+    mesh: Mesh,
+    config: SegmentTreeConfig = SegmentTreeConfig(),
+) -> np.ndarray:
+    """ST-2 with per-band full iteration across the ``space`` axis → (H, W) u8.
+
+    Two sharded device dispatches with one host stage between them (the
+    re-segmentation tree build is host C++, as in the reference's own
+    host-sequenced iteration): phase A = per-view σ₁ trees → filter/WTA/
+    median both views → LR mask; host = color+depth weights → per-band
+    trees at the user σ; phase B = fresh cost → filter/WTA/median.
+    Bit-identical to ``st2_disparity_tiled(…, num_tiles=n_space)`` on the
+    CPU mesh (tests/test_parallel.py). Matches
+    ``STMatching/StereoDisparity.cpp:91-159``.
+    """
+    check_bgr_pair(left_bgr, right_bgr, config.max_disp_levels, "st2_sharded")
+    n_space = mesh.shape["space"]
+    h, w = left_bgr.shape[:2]
     hb = h // n_space
-    step = _sharded_st1_step(
-        mesh, config.max_disp_levels, plan.num_nodes, plan.total_pos,
-        plan.rounds_meta,
+
+    # Host: per-view σ₁ band trees (images only — built before phase A).
+    plan_l = converged_coded_batch(
+        _band_trees(left_bgr, n_space, config), config.sigma_one
     )
-    band_sh = NamedSharding(mesh, P("space", None, None, None))
-    plan_sh = NamedSharding(mesh, P("space", None))
-    lb = jax.device_put(
-        np.ascontiguousarray(left_bgr.reshape(n_space, hb, w, 3)), band_sh
+    plan_r = converged_coded_batch(
+        _band_trees(right_bgr, n_space, config), config.sigma_one
     )
-    rb = jax.device_put(
-        np.ascontiguousarray(right_bgr.reshape(n_space, hb, w, 3)), band_sh
+
+    step_a = _sharded_st2_phase_a(
+        mesh, config.max_disp_levels, config.lr_max_diff,
+        _plan_key(plan_l), _plan_key(plan_r),
     )
-    ints = jax.device_put(plan.ints, plan_sh)
-    floats = jax.device_put(plan.floats, plan_sh)
-    disp = np.asarray(step(lb, rb, ints, floats)).reshape(h, w)
+    lb = _put_bands(mesh, left_bgr, n_space)
+    rb = _put_bands(mesh, right_bgr, n_space)
+    disp_l_b, mask_b = step_a(
+        lb, rb, *_put_plan(mesh, plan_l), *_put_plan(mesh, plan_r)
+    )
+    disp_l_b = np.asarray(disp_l_b)
+    mask_b = np.asarray(mask_b)
+
+    # Host: per-band color+depth re-segmentation trees from phase A output.
+    weights = [
+        color_depth_edge_weights(
+            left_bgr[t * hb : (t + 1) * hb], disp_l_b[t], mask_b[t],
+            config.max_disp_levels, config.alpha_dep_seg,
+        )
+        for t in range(n_space)
+    ]
+    plan_f = converged_coded_batch(
+        _band_trees(
+            left_bgr, n_space, config, weights_per_band=weights,
+            weight_scale=255.0,
+        ),
+        config.sigma,
+    )
+
+    # Phase B: fresh cost through the rebuilt trees (same program as ST-1).
+    step_b = _sharded_st1_step(mesh, config.max_disp_levels, _plan_key(plan_f))
+    disp = np.asarray(step_b(lb, rb, *_put_plan(mesh, plan_f))).reshape(h, w)
     return np.minimum(
         disp.astype(np.int32) * config.disparity_scale, 255
     ).astype(np.uint8)

@@ -50,6 +50,8 @@ from gpu_stereo_matching_tpu.tree.builder import SegmentTree
 _LAYOUT_REGISTRY: dict = {}
 _K_REGISTRY: dict = {}  # (N, rounds) -> per-round max light-children slots
 _ROUNDS_REGISTRY: dict = {}  # N -> max padded round count seen
+_SCAN_REGISTRY: dict = {}  # (N, rounds) -> per-round pow2 max path length
+_REAL_ROUNDS_REGISTRY: dict = {}  # (N, rounds) -> max non-dummy rounds
 _REGISTRY_PATH = None
 _REGISTRY_LOADED = False
 _REGISTRY_LOCK = None
@@ -95,6 +97,14 @@ def _registry_load():
                     _K_REGISTRY[(int(parts[1]), int(parts[2]))] = [
                         int(v) for v in caps
                     ]
+                elif len(parts) == 3 and parts[0] == "S":
+                    _SCAN_REGISTRY[(int(parts[1]), int(parts[2]))] = [
+                        int(v) for v in caps
+                    ]
+                elif len(parts) == 3 and parts[0] == "NR":
+                    _REAL_ROUNDS_REGISTRY[(int(parts[1]), int(parts[2]))] = (
+                        int(caps)
+                    )
                 elif len(parts) == 2 and parts[0] == "R":
                     _ROUNDS_REGISTRY[int(parts[1])] = int(caps)
                 elif len(parts) == 2:
@@ -116,6 +126,13 @@ def _registry_save():
                for k, v in _LAYOUT_REGISTRY.items()}
         raw.update(
             {f"K:{k[0]}:{k[1]}": list(v) for k, v in _K_REGISTRY.items()}
+        )
+        raw.update(
+            {f"S:{k[0]}:{k[1]}": list(v) for k, v in _SCAN_REGISTRY.items()}
+        )
+        raw.update(
+            {f"NR:{k[0]}:{k[1]}": v
+             for k, v in _REAL_ROUNDS_REGISTRY.items()}
         )
         raw.update({f"R:{k}": v for k, v in _ROUNDS_REGISTRY.items()})
         tmp = path + ".tmp"
@@ -169,6 +186,37 @@ def _registry_caps_k(n: int, padded_rounds: int, needed):
             _K_REGISTRY[key] = caps
             _registry_save()
         return caps
+
+
+def _registry_scan_caps(n: int, padded_rounds: int, needed):
+    """Merge per-round max-path-length pow2 caps (doubling-scan step
+    counts) into the persisted registry, like the K caps."""
+    with _registry_lock():
+        _registry_load()
+        key = (n, padded_rounds)
+        caps = _SCAN_REGISTRY.get(key)
+        if caps is None or any(nd > c for nd, c in zip(needed, caps)):
+            caps = (
+                list(needed)
+                if caps is None
+                else [max(nd, c) for nd, c in zip(needed, caps)]
+            )
+            _SCAN_REGISTRY[key] = caps
+            _registry_save()
+        return caps
+
+
+def _registry_real_rounds(n: int, padded_rounds: int, needed: int) -> int:
+    """Converge the number of non-dummy rounds (monotone max per layout)."""
+    with _registry_lock():
+        _registry_load()
+        key = (n, padded_rounds)
+        cur = _REAL_ROUNDS_REGISTRY.get(key, 0)
+        if needed > cur:
+            _REAL_ROUNDS_REGISTRY[key] = needed
+            _registry_save()
+            cur = needed
+        return cur
 
 
 def _registry_rounds(n: int, needed: int) -> int:
@@ -849,6 +897,19 @@ class CodedPlan:
     ints: jnp.ndarray
     codes: jnp.ndarray
     table: jnp.ndarray
+    # Registry-converged static schedule: per-round doubling-scan step
+    # count (= log2 of the pow2-capped max path length) and the number of
+    # leading rounds that can contain real nodes (the padded tail is
+    # skipped by the filter — dummy scans are exact no-ops).
+    scan_steps: Tuple[int, ...] = ()
+    n_real: int = -1
+
+    @property
+    def layout_key(self):
+        return (
+            self.num_nodes, self.total_pos, self.rounds_meta,
+            self.scan_steps, self.n_real,
+        )
 
     @staticmethod
     def from_tree(
@@ -863,9 +924,11 @@ jax.tree_util.register_pytree_node(
     CodedPlan,
     lambda p: (
         (p.ints, p.codes, p.table),
-        (p.num_nodes, p.total_pos, p.rounds_meta),
+        (p.num_nodes, p.total_pos, p.rounds_meta, p.scan_steps, p.n_real),
     ),
-    lambda aux, ch: CodedPlan(aux[0], aux[1], aux[2], ch[0], ch[1], ch[2]),
+    lambda aux, ch: CodedPlan(
+        aux[0], aux[1], aux[2], ch[0], ch[1], ch[2], aux[3], aux[4]
+    ),
 )
 
 
@@ -910,11 +973,37 @@ def code_plan(
         [pd.astype(np.uint8), (is_head + 2 * zero_w).astype(np.uint8)]
     )
     table = weight_lut(sigma)
-    cp = CodedPlan(n, total, plan.rounds_meta, plan.ints, codes, table)
+
+    # Static doubling-scan schedule: per round the pow2 cap on the longest
+    # path (boundaries are down_a == 0 rows: heads and padding), converged
+    # through the registry so frames of one video share a compiled graph.
+    boundary = is_head | pad
+    need_caps, need_real = [], 0
+    off = 0
+    for t, (l, _k) in enumerate(plan.rounds_meta):
+        sl = boundary[off : off + l]
+        real = ~pad[off : off + l]
+        if real.any():
+            need_real = t + 1
+        starts = np.flatnonzero(sl)
+        if len(starts) == 0:
+            need_caps.append(1)
+        else:
+            runs = np.diff(np.append(starts, l))
+            need_caps.append(_pow2(int(runs.max())))
+        off += l
+    caps = _registry_scan_caps(n, len(plan.rounds_meta), need_caps)
+    n_real = _registry_real_rounds(n, len(plan.rounds_meta), need_real)
+    steps = tuple(int(np.log2(c)) for c in caps)
+
+    cp = CodedPlan(
+        n, total, plan.rounds_meta, plan.ints, codes, table, steps, n_real
+    )
     if device:
         cp = CodedPlan(
             n, total, plan.rounds_meta,
             jnp.asarray(cp.ints), jnp.asarray(cp.codes), jnp.asarray(table),
+            steps, n_real,
         )
     return cp
 
@@ -980,11 +1069,52 @@ def _reconstruct_po_fields(codes: jnp.ndarray, table: jnp.ndarray):
     return w, heavy_a, down_a, omw2, head_w
 
 
-def tree_filter_nodes_po_coded(
-    cost_nodes: jnp.ndarray, plan: CodedPlan
+def _seg_scan(
+    a: jnp.ndarray, b: jnp.ndarray, steps: int, reverse: bool = False
 ) -> jnp.ndarray:
-    """Exact (N, D) aggregation from a coded plan — bit-identical to
-    :func:`tree_filter_nodes_po` on the equivalent uncoded plan."""
+    """Affine segmented scan via Hillis–Steele doubling — ``steps`` static.
+
+    Replaces ``jax.lax.associative_scan`` on the filter's hot path: the
+    recursive scan costs ~7.8 ms per (65k, 64) array on v5e (overhead-
+    bound), while each doubling step is one fused multiply-add sweep. The
+    step count may stop at log₂(max segment length) because a = 0 at
+    every segment boundary makes compositions across it exact f32 no-ops
+    (0·x = 0 and b + 0 = b) — mathematically the larger windows change
+    nothing (tests/test_tree.py::test_seg_scan_cap_is_exact; XLA may
+    still fuse the two step counts' graphs with different FMA choices,
+    so cross-program equality holds to an ulp, not bitwise).
+    """
+    dt = b.dtype
+    for k in range(steps):
+        sh = 1 << k
+        if sh >= b.shape[0]:
+            break
+        pad_a = jnp.ones((sh, a.shape[1]), dt)
+        pad_b = jnp.zeros((sh, b.shape[1]), dt)
+        if reverse:
+            a_sh = jnp.concatenate([a[sh:], pad_a], axis=0)
+            b_sh = jnp.concatenate([b[sh:], pad_b], axis=0)
+        else:
+            a_sh = jnp.concatenate([pad_a, a[:-sh]], axis=0)
+            b_sh = jnp.concatenate([pad_b, b[:-sh]], axis=0)
+        b = b + a * b_sh
+        a = a * a_sh
+    return b
+
+
+def tree_filter_nodes_po_coded(
+    cost_nodes: jnp.ndarray, plan: CodedPlan, assoc_scan: bool = False
+) -> jnp.ndarray:
+    """Exact (N, D) aggregation from a coded plan.
+
+    With ``assoc_scan=True`` the per-round scans run through
+    ``jax.lax.associative_scan`` and the result is bit-identical to
+    :func:`tree_filter_nodes_po` on the equivalent uncoded plan. The
+    default uses :func:`_seg_scan` doubling with the plan's static
+    per-round step caps — ~2-4× fewer serial scan passes; summation
+    order inside a path differs, so results match the oracle to float
+    tolerance rather than bitwise.
+    """
     d = cost_nodes.shape[1]
     dt = cost_nodes.dtype
     total = plan.total_pos
@@ -997,29 +1127,39 @@ def tree_filter_nodes_po_coded(
     )
     cost_plan = cost_ext[perm]
 
+    n_real = plan.n_real if plan.n_real >= 0 else len(plan.rounds_meta)
+    steps = plan.scan_steps or tuple(
+        int(np.ceil(np.log2(max(l, 1)))) for (l, _k) in plan.rounds_meta
+    )
+    live = list(zip(offs, plan.rounds_meta, rounds, steps))[:n_real]
+
     s_buf = jnp.zeros((total + 1, d), dt)
     ws_buf = jnp.zeros((total + 1, d), dt)  # w[i]·s[i] rows for light pulls
-    for off, (l, _kk), (_hs, light_src) in reversed(
-        list(zip(offs, plan.rounds_meta, rounds))
-    ):
+    for off, (l, _kk), (_hs, light_src), st in reversed(live):
         b = jax.lax.dynamic_slice(cost_plan, (off, 0), (l, d))
         for k in range(light_src.shape[0]):
             b = b + ws_buf[light_src[k]]
         a = heavy_a[off : off + l][:, None] * jnp.ones((1, 1), dt)
-        _, s = jax.lax.associative_scan(_combine, (a, b), reverse=True,
-                                        axis=0)
+        if assoc_scan:
+            _, s = jax.lax.associative_scan(_combine, (a, b), reverse=True,
+                                            axis=0)
+        else:
+            s = _seg_scan(a, b, st, reverse=True)
         s_buf = jax.lax.dynamic_update_slice(s_buf, s, (off, 0))
         ws_buf = jax.lax.dynamic_update_slice(
             ws_buf, w[off : off + l][:, None] * s, (off, 0)
         )
 
     f_buf = jnp.zeros((total + 1, d), dt)
-    for off, (l, _kk), (head_src, _ls) in zip(offs, plan.rounds_meta, rounds):
+    for off, (l, _kk), (head_src, _ls), st in live:
         s_t = jax.lax.dynamic_slice(s_buf, (off, 0), (l, d))
         b = omw2[off : off + l][:, None] * s_t \
             + head_w[off : off + l][:, None] * f_buf[head_src]
         a = down_a[off : off + l][:, None] * jnp.ones((1, 1), dt)
-        _, f = jax.lax.associative_scan(_combine, (a, b), axis=0)
+        if assoc_scan:
+            _, f = jax.lax.associative_scan(_combine, (a, b), axis=0)
+        else:
+            f = _seg_scan(a, b, st)
         f_buf = jax.lax.dynamic_update_slice(f_buf, f, (off, 0))
 
     return f_buf[inv_perm]
@@ -1029,11 +1169,9 @@ def stack_coded_plans(plans) -> CodedPlan:
     """Stack same-layout coded plans (shared table, batched ints/codes)."""
     p0 = plans[0]
     for p in plans[1:]:
-        if (p.num_nodes, p.total_pos, p.rounds_meta) != (
-            p0.num_nodes, p0.total_pos, p0.rounds_meta
-        ):
+        if p.layout_key != p0.layout_key:
             raise ValueError(
-                "plan layouts diverged; build them via converged_plan_batch"
+                "plan layouts diverged; rebuild until layout_keys agree"
             )
         if not np.array_equal(np.asarray(p.table), np.asarray(p0.table)):
             raise ValueError("coded plans must share one weight table (σ)")
@@ -1044,7 +1182,8 @@ def stack_coded_plans(plans) -> CodedPlan:
         ints = jnp.stack([p.ints for p in plans])
         codes = jnp.stack([p.codes for p in plans])
     return CodedPlan(
-        p0.num_nodes, p0.total_pos, p0.rounds_meta, ints, codes, p0.table
+        p0.num_nodes, p0.total_pos, p0.rounds_meta, ints, codes, p0.table,
+        p0.scan_steps, p0.n_real,
     )
 
 
@@ -1093,6 +1232,21 @@ def converged_plan_batch(trees, sigma: float, native: bool = True) -> PlanOrderP
         plans = [
             PlanOrderPlan.from_tree(t, sigma, native, device=False)
             for t in trees
+        ]
+    raise RuntimeError("plan layouts failed to converge")  # pragma: no cover
+
+
+def converged_coded_batch(trees, sigma: float, native: bool = True) -> CodedPlan:
+    """One stacked coded plan for several same-size trees (layout-converged
+    like :func:`converged_plan_batch`, including the scan-step schedule)."""
+    plans = [
+        CodedPlan.from_tree(t, sigma, native, device=False) for t in trees
+    ]
+    for _ in range(8):
+        if len({p.layout_key for p in plans}) == 1:
+            return stack_coded_plans(plans)
+        plans = [
+            CodedPlan.from_tree(t, sigma, native, device=False) for t in trees
         ]
     raise RuntimeError("plan layouts failed to converge")  # pragma: no cover
 

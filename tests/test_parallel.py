@@ -114,6 +114,30 @@ def test_sharded_st1_matches_tiled(rng, n_space):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.parametrize("n_space", [2, 4])
+def test_sharded_st2_matches_tiled(rng, n_space):
+    """Distributed ST-2 (two sharded dispatches + host tree rebuild) is
+    bit-identical to the sequential tiled `st2_disparity_tiled` with the
+    same band count (`StereoDisparity.cpp:91-159` semantics per band)."""
+    from gpu_stereo_matching_tpu.core.config import SegmentTreeConfig
+    from gpu_stereo_matching_tpu.models.segment_tree_tiled import (
+        st2_disparity_tiled,
+    )
+    from gpu_stereo_matching_tpu.parallel.segment_tree import (
+        st2_disparity_sharded,
+    )
+
+    cfg = SegmentTreeConfig(max_disp_levels=5, tau=90.0, min_size_seg=5)
+    h, w = 8 * n_space, 18
+    left = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    right = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+    mesh = build_mesh(MeshConfig(data=1, space=n_space, disp=1))
+    got = st2_disparity_sharded(left, right, mesh, cfg)
+    want = st2_disparity_tiled(left, right, n_space, cfg)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_sharded_st1_rejects_indivisible_height(rng):
     from gpu_stereo_matching_tpu.core.config import SegmentTreeConfig
     from gpu_stereo_matching_tpu.parallel.segment_tree import (

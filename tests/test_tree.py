@@ -286,12 +286,19 @@ class TestPlanOrderFilter:
                 jnp.asarray(cost), PlanOrderPlan.from_tree(tree, 0.1)
             )
         )
+        coded = CodedPlan.from_tree(tree, 0.1)
         got = np.asarray(
             tree_filter_nodes_po_coded(
-                jnp.asarray(cost), CodedPlan.from_tree(tree, 0.1)
+                jnp.asarray(cost), coded, assoc_scan=True
             )
         )
         np.testing.assert_array_equal(got, want)
+        # The default doubling scan reorders in-path summation; it must
+        # still match to float tolerance.
+        dbl = np.asarray(
+            tree_filter_nodes_po_coded(jnp.asarray(cost), coded)
+        )
+        np.testing.assert_allclose(dbl, want, rtol=2e-6, atol=2e-6)
 
     def test_coded_fields_reconstruct_bitwise(self, rng):
         """Device-side field reconstruction from codes reproduces every
@@ -329,6 +336,74 @@ class TestPlanOrderFilter:
                 np.asarray(head_w[off : off + l]), np.asarray(r_headw)
             )
 
+    def test_seg_scan_cap_is_exact(self, rng):
+        """Doubling steps beyond log2(max segment length) are mathematical
+        no-ops when a == 0 at segment boundaries — the property that lets
+        the filter cap its static step counts. In pure NumPy f32 the extra
+        steps reproduce the capped result bit for bit; across two XLA
+        programs fusion may differ by an ulp, so that path is gated at
+        tight tolerance."""
+        from gpu_stereo_matching_tpu.tree.hpd import _seg_scan
+
+        l, d, seg = 256, 5, 16  # segments of length <= 16
+        a = rng.uniform(0.1, 0.99, (l, 1)).astype(np.float32)
+        a[::seg] = 0.0  # boundaries
+        b = rng.standard_normal((l, d)).astype(np.float32)
+
+        def np_scan(a, b, steps, reverse):
+            a, b = a.copy(), b.copy()
+            for k in range(steps):
+                sh = 1 << k
+                pa = np.ones((sh, 1), np.float32)
+                pb = np.zeros((sh, d), np.float32)
+                if reverse:
+                    a_sh = np.concatenate([a[sh:], pa])
+                    b_sh = np.concatenate([b[sh:], pb])
+                else:
+                    a_sh = np.concatenate([pa, a[:-sh]])
+                    b_sh = np.concatenate([pb, b[:-sh]])
+                b = b + a * b_sh
+                a = a * a_sh
+            return b
+
+        for reverse in (False, True):
+            aa = a if not reverse else a[::-1].copy()
+            # bitwise no-op in a fixed arithmetic (NumPy f32)
+            np.testing.assert_array_equal(
+                np_scan(aa, b, 4, reverse), np_scan(aa, b, 8, reverse)
+            )
+            capped = np.asarray(
+                jax.jit(_seg_scan, static_argnums=(2, 3))(
+                    jnp.asarray(aa), jnp.asarray(b), 4, reverse
+                )
+            )
+            full = np.asarray(
+                jax.jit(_seg_scan, static_argnums=(2, 3))(
+                    jnp.asarray(aa), jnp.asarray(b), 8, reverse
+                )
+            )
+            np.testing.assert_allclose(capped, full, rtol=1e-6, atol=1e-7)
+
+    def test_seg_scan_matches_associative_scan(self, rng):
+        from gpu_stereo_matching_tpu.tree.hpd import _combine, _seg_scan
+
+        l, d = 192, 4
+        a = rng.uniform(0.0, 0.99, (l, 1)).astype(np.float32)
+        a[rng.random(l) < 0.15] = 0.0
+        b = rng.standard_normal((l, d)).astype(np.float32)
+        got = np.asarray(
+            jax.jit(_seg_scan, static_argnums=(2,))(
+                jnp.asarray(a), jnp.asarray(b), 8
+            )
+        )
+        want = np.asarray(
+            jax.lax.associative_scan(
+                _combine, (jnp.broadcast_to(jnp.asarray(a), (l, d)),
+                           jnp.asarray(b)), axis=0
+            )[1]
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
     def test_exact_lut(self):
         """The two-level one-hot LUT is exact for every code."""
         from gpu_stereo_matching_tpu.tree.hpd import _exact_lut, weight_lut
@@ -355,14 +430,14 @@ class TestPlanOrderFilter:
         )
         plans = [CodedPlan.from_tree(t, 0.1, device=False) for t in trees]
         for _ in range(4):
-            if len({(p.rounds_meta, p.total_pos) for p in plans}) == 1:
+            if len({p.layout_key for p in plans}) == 1:
                 break
             plans = [CodedPlan.from_tree(t, 0.1, device=False) for t in trees]
         stacked = stack_coded_plans(plans)
         got = np.asarray(
             jax.vmap(tree_filter_nodes_po_coded, in_axes=(0, CodedPlan(
                 stacked.num_nodes, stacked.total_pos, stacked.rounds_meta,
-                0, 0, None,
+                0, 0, None, stacked.scan_steps, stacked.n_real,
             )))(jnp.asarray(costs), stacked)
         )
         for i, t in enumerate(trees):
