@@ -61,8 +61,12 @@ def run_st_streaming_benchmark(
     pipe = SegmentTreeBatchPipeline(
         SegmentTreeConfig(), group_size=group_size, workers=workers
     )
-    # Warm pass: converge plan layouts + compile the batched dispatch.
-    for _ in pipe.process(frames[:warm_frames]):
+    # Warm pass over the FULL stream: converge plan layouts + compile the
+    # batched dispatch. A frame deep in the stream can still grow the
+    # layout registry (one more cap bump = one recompile, minutes through
+    # the remote-compile tunnel); steady state means all layouts seen.
+    del warm_frames
+    for _ in pipe.process(frames):
         pass
 
     # Steady state: total wall time over the full stream (frames arrive in
