@@ -39,11 +39,18 @@ def main():
             out = fused_block_matching(l, rr, d, r)
             return acc + jnp.sum(out), None
 
-        def rep(i, acc):
-            a, _ = jax.lax.scan(step, acc, (left, right))
-            return a
+        # Loop-carried data dependency (XOR the batch with the previous
+        # repeat's checksum bit) so XLA cannot hoist the loop-invariant
+        # scan out of the fori_loop and under-measure.
+        def rep(i, carry):
+            acc, lft = carry
+            a, _ = jax.lax.scan(step, acc, (lft, right))
+            return a, lft ^ (a & 1).astype(lft.dtype)
 
-        return jax.lax.fori_loop(0, reps, rep, jnp.zeros((), jnp.int32))
+        acc, _ = jax.lax.fori_loop(
+            0, reps, rep, (jnp.zeros((), jnp.int32), left)
+        )
+        return acc
 
     int(batch_run(left, right))  # compile + warm
     best = float("inf")
