@@ -100,10 +100,30 @@ def run_micro_benchmarks(
         ),
         max(iters // 10, 1),
     )
-    for name in ("bm_fused", "bm_split_phase"):
-        print(f"{name:16s} {results[name] * 1e3:9.3f} ms")
+    # Large-radius median: 255-pass CDF vs the CTMF-analog two-tier
+    # histogram Pallas kernel (ctmf.c:98-339), both scalar-fenced.
+    from gpu_stereo_matching_tpu.kernels.ctmf_median import ctmf_median_u8
+
+    for r in (5, 7):
+        if min(height, width) <= 2 * r:
+            continue
+        cdf = jax.jit(
+            lambda x, r=r: median_filter_u8(x, r, method="histogram")
+        )
+        ctm = jax.jit(
+            lambda x, r=r: ctmf_median_u8(x, r, interpret=interpret)
+        )
+        results[f"median_r{r}_cdf255"] = _time(
+            lambda: int(jnp.sum(cdf(j_gray)[::97, ::97])),
+            max(iters // 20, 1),
+        )
+        results[f"median_r{r}_ctmf_kernel"] = _time(
+            lambda: int(jnp.sum(ctm(j_gray)[::97, ::97])),
+            max(iters // 20, 1),
+        )
+
     for name, secs in results.items():
-        print(f"{name:16s} {secs * 1e3:9.3f} ms")
+        print(f"{name:24s} {secs * 1e3:9.3f} ms")
     return results
 
 

@@ -183,6 +183,53 @@ def test_fused_key_kernel_partial_ranges(rng):
     np.testing.assert_array_equal(combined % num_d, want_disp)
 
 
+@pytest.mark.parametrize(
+    "hw_r", [((20, 30), 1), ((33, 150), 4), ((40, 260), 7), ((16, 128), 9)]
+)
+def test_ctmf_median_matches_oracles(rng, hw_r):
+    """The two-tier histogram Pallas median (CTMF analog, ctmf.c:98-339)
+    is bit-identical to both median_filter_u8 paths."""
+    from gpu_stereo_matching_tpu.kernels.ctmf_median import ctmf_median_u8
+    from gpu_stereo_matching_tpu.ops.postprocess import median_filter_u8
+
+    (h, w), r = hw_r
+    x = jnp.asarray(rng.integers(0, 256, (h, w), dtype=np.uint8))
+    got = np.asarray(ctmf_median_u8(x, r, interpret=True))
+    np.testing.assert_array_equal(
+        got, np.asarray(median_filter_u8(x, r, method="histogram"))
+    )
+    np.testing.assert_array_equal(
+        got, np.asarray(median_filter_u8(x, r, method="sort"))
+    )
+
+
+def test_ctmf_median_valid_mask(rng):
+    from gpu_stereo_matching_tpu.kernels.ctmf_median import ctmf_median_u8
+    from gpu_stereo_matching_tpu.ops.postprocess import median_filter_u8
+
+    h, w, r = 26, 140, 4
+    x = jnp.asarray(rng.integers(0, 256, (h, w), dtype=np.uint8))
+    mask = jnp.asarray(rng.random((h, w)) > 0.3)
+    got = np.asarray(ctmf_median_u8(x, r, valid_mask=mask, interpret=True))
+    want = np.asarray(
+        median_filter_u8(x, r, method="histogram", valid_mask=mask)
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_ctmf_median_constant_and_extremes(rng):
+    from gpu_stereo_matching_tpu.kernels.ctmf_median import ctmf_median_u8
+
+    x = jnp.full((17, 131), 255, jnp.uint8)
+    np.testing.assert_array_equal(
+        np.asarray(ctmf_median_u8(x, 4, interpret=True)), np.asarray(x)
+    )
+    z = jnp.zeros((17, 131), jnp.uint8)
+    np.testing.assert_array_equal(
+        np.asarray(ctmf_median_u8(z, 4, interpret=True)), np.asarray(z)
+    )
+
+
 def test_split_phase_sad_volume_matches_ops(rng):
     """Phase-1 Pallas SAD volume == XLA ops path (materialized volume)."""
     from gpu_stereo_matching_tpu.kernels.split_phase import sad_volume
