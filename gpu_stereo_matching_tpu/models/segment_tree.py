@@ -59,6 +59,10 @@ def _filter_wta_median(cost_nodes, plan, shape_hw):
     # cost_nodes: (N, D); returns median-filtered uint8 disparity (H, W).
     h, w = shape_hw
     if isinstance(plan, CodedPlan):
+        # NOTE: reduce="argmin" (WTA before the inverse permutation, one
+        # int32 per node instead of D floats through the final gather)
+        # measured SLOWER on v5e — 27.5 vs 25.7 ms/frame batched: an
+        # (N,)-scalar gather pays more per row than the saved bytes.
         filtered = tree_filter_nodes_po_coded(cost_nodes, plan)
     elif isinstance(plan, PlanOrderPlan):
         filtered = tree_filter_nodes_po(cost_nodes, plan)

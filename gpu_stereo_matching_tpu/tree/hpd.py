@@ -1103,7 +1103,8 @@ def _seg_scan(
 
 
 def tree_filter_nodes_po_coded(
-    cost_nodes: jnp.ndarray, plan: CodedPlan, assoc_scan: bool = False
+    cost_nodes: jnp.ndarray, plan: CodedPlan, assoc_scan: bool = False,
+    reduce: str = "none",
 ) -> jnp.ndarray:
     """Exact (N, D) aggregation from a coded plan.
 
@@ -1114,6 +1115,10 @@ def tree_filter_nodes_po_coded(
     per-round step caps — ~2-4× fewer serial scan passes; summation
     order inside a path differs, so results match the oracle to float
     tolerance rather than bitwise.
+
+    ``reduce="argmin"`` fuses WTA (ties → lowest d, as
+    ``ops.wta.wta_disparity``) before the inverse permutation and
+    returns (N,) int32 disparities.
     """
     d = cost_nodes.shape[1]
     dt = cost_nodes.dtype
@@ -1162,6 +1167,11 @@ def tree_filter_nodes_po_coded(
             f = _seg_scan(a, b, st)
         f_buf = jax.lax.dynamic_update_slice(f_buf, f, (off, 0))
 
+    if reduce == "argmin":
+        # WTA in plan order (argmin is row-local, so permutation order is
+        # irrelevant): the final un-permute gather then moves one int32
+        # per node instead of D floats.
+        return jnp.argmin(f_buf, axis=1).astype(jnp.int32)[inv_perm]
     return f_buf[inv_perm]
 
 
