@@ -141,7 +141,7 @@ def _sharded_st1_step(mesh: Mesh, num_disp: int, plan_key):
         in_specs=(
             P("space", None, None, None),
             P("space", None, None, None),
-            P("space", None),
+            P("space", None, None),
             P("space", None, None),
             P(None, None),
         ),
@@ -161,7 +161,7 @@ def _put_bands(mesh: Mesh, img: np.ndarray, n_space: int):
 
 
 def _put_plan(mesh: Mesh, plan: CodedPlan):
-    plan_sh = NamedSharding(mesh, P("space", None))
+    plan_sh = NamedSharding(mesh, P("space", None, None))
     codes_sh = NamedSharding(mesh, P("space", None, None))
     rep = NamedSharding(mesh, P(None, None))
     return (
@@ -238,8 +238,8 @@ def _sharded_st2_phase_a(
         in_specs=(
             P("space", None, None, None),
             P("space", None, None, None),
-            P("space", None), P("space", None, None), P(None, None),
-            P("space", None), P("space", None, None), P(None, None),
+            P("space", None, None), P("space", None, None), P(None, None),
+            P("space", None, None), P("space", None, None), P(None, None),
         ),
         out_specs=(P("space", None, None), P("space", None, None)),
         check_vma=False,

@@ -884,11 +884,16 @@ def tree_filter_nodes_po(
 class CodedPlan:
     """Plan-order plan with u8-coded float payload.
 
-    ``ints`` layout is identical to :class:`PlanOrderPlan`. ``codes`` is
-    ``(2, total)`` u8: row 0 the parent-distance code per plan position,
-    row 1 flags (bit0 = is_head, bit1 = force-zero weight — root and
-    padding rows). ``table`` is the shared 256-entry f32 weight LUT for
-    the plan's σ (tiny; uploaded once per config).
+    ``ints`` carries the same index stream as :class:`PlanOrderPlan`,
+    packed 24-bit little-endian as a ``(3, L)`` u8 array (every index is
+    a buffer position ≤ ``total_pos`` < 2²⁴ even at 4K, so the top byte
+    of an i32 is always zero — 25% less plan transport per frame; the
+    filter widens u8→i32 and reassembles in-graph, losslessly). A plain
+    ``(L,)`` i32 stream is also accepted. ``codes`` is ``(2, total)``
+    u8: row 0 the parent-distance code per plan position, row 1 flags
+    (bit0 = is_head, bit1 = force-zero weight — root and padding rows).
+    ``table`` is the shared 256-entry f32 weight LUT for the plan's σ
+    (tiny; uploaded once per config).
     """
 
     num_nodes: int
@@ -945,6 +950,28 @@ def weight_lut(sigma: float) -> np.ndarray:
     return np.stack([w, (1.0 - w * w).astype(np.float32)], axis=1)
 
 
+def pack_ints24(ints: np.ndarray) -> np.ndarray:
+    """Pack a non-negative i32 index stream (< 2²⁴) as (3, L) u8 bytes.
+
+    Plan indices address buffers of ``total_pos + 1`` rows; even a 4K
+    frame (~10.8M plan positions) stays under 2²⁴, so the top i32 byte
+    is structurally zero. Packing on the host trims 25% off the per-frame
+    plan upload; :func:`_unpack_ints24` reassembles in-graph, losslessly.
+    """
+    if ints.max(initial=0) >= (1 << 24):
+        raise ValueError("plan index stream exceeds 24-bit packing range")
+    v = ints.astype(np.uint32)
+    return np.stack(
+        [v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF]
+    ).astype(np.uint8)
+
+
+def _unpack_ints24(packed: jnp.ndarray) -> jnp.ndarray:
+    """(3, L) u8 → (L,) i32 — three widens + shifts, fused by XLA."""
+    b = packed.astype(jnp.int32)
+    return b[0] | (b[1] << 8) | (b[2] << 16)
+
+
 def code_plan(
     plan: PlanOrderPlan, tree: SegmentTree, sigma: float, device: bool = True
 ) -> CodedPlan:
@@ -996,8 +1023,12 @@ def code_plan(
     n_real = _registry_real_rounds(n, len(plan.rounds_meta), need_real)
     steps = tuple(int(np.log2(c)) for c in caps)
 
+    # Indices are bounded by total (the dummy row), so 24-bit packing is
+    # lossless whenever the plan fits — which it does for any frame size
+    # this framework targets (4K ≈ 10.8M positions < 2²⁴).
+    ints = pack_ints24(plan.ints) if total < (1 << 24) else plan.ints
     cp = CodedPlan(
-        n, total, plan.rounds_meta, plan.ints, codes, table, steps, n_real
+        n, total, plan.rounds_meta, ints, codes, table, steps, n_real
     )
     if device:
         cp = CodedPlan(
@@ -1124,8 +1155,11 @@ def tree_filter_nodes_po_coded(
     dt = cost_nodes.dtype
     total = plan.total_pos
     cost_ext = jnp.concatenate([cost_nodes, jnp.zeros((1, d), dt)], axis=0)
+    ints = plan.ints
+    if ints.ndim == 2:  # 24-bit packed (3, L) u8 stream
+        ints = _unpack_ints24(ints)
     rounds, offs, perm, inv_perm = _unpack_po_ints(
-        plan.ints, plan.rounds_meta, total, plan.num_nodes
+        ints, plan.rounds_meta, total, plan.num_nodes
     )
     w, heavy_a, down_a, omw2, head_w = _reconstruct_po_fields(
         plan.codes, plan.table

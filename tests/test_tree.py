@@ -300,6 +300,27 @@ class TestPlanOrderFilter:
         )
         np.testing.assert_allclose(dbl, want, rtol=2e-6, atol=2e-6)
 
+    def test_ints24_roundtrip(self, rng):
+        """24-bit index packing is lossless and rejects out-of-range."""
+        from gpu_stereo_matching_tpu.tree.hpd import (
+            _unpack_ints24,
+            pack_ints24,
+        )
+
+        vals = np.concatenate(
+            [
+                rng.integers(0, 1 << 24, 4096),
+                np.array([0, 1, (1 << 24) - 1]),
+            ]
+        ).astype(np.int32)
+        packed = pack_ints24(vals)
+        assert packed.dtype == np.uint8 and packed.shape == (3, len(vals))
+        np.testing.assert_array_equal(
+            np.asarray(jax.jit(_unpack_ints24)(jnp.asarray(packed))), vals
+        )
+        with pytest.raises(ValueError):
+            pack_ints24(np.array([1 << 24], dtype=np.int32))
+
     def test_coded_fields_reconstruct_bitwise(self, rng):
         """Device-side field reconstruction from codes reproduces every
         float the uncoded plan carries, bit for bit."""
