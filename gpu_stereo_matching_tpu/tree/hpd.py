@@ -1176,6 +1176,9 @@ def tree_filter_nodes_po_coded(
     ws_buf = jnp.zeros((total + 1, d), dt)  # w[i]·s[i] rows for light pulls
     for off, (l, _kk), (_hs, light_src), st in reversed(live):
         b = jax.lax.dynamic_slice(cost_plan, (off, 0), (l, d))
+        # Per-k gathers, NOT one merged (k·l)-row gather: measured
+        # equal on v5e (26.2 vs 25.6 ms/frame batched) — row gathers
+        # here cost ~rows, not ops, so merging buys nothing (ROADMAP).
         for k in range(light_src.shape[0]):
             b = b + ws_buf[light_src[k]]
         a = heavy_a[off : off + l][:, None] * jnp.ones((1, 1), dt)
