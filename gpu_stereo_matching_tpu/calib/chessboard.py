@@ -22,7 +22,7 @@ Replaces the reference's reliance on ``cv::findChessboardCorners`` +
    prediction, keep cells whose refinement converges nearby; repeat.
    This recovers corners raw detection misses (blur, glare) — in
    practice it detects more boards than OpenCV on the bundled Chess
-   captures (41/60 vs 29/60), agreeing to ~0.9 px where both succeed.
+   captures (47/60 vs 29/60), agreeing to ~0.97 px where both succeed.
 5. **Window + canonical order.** Choose the best rows×cols window of
    confirmed cells (a few holes are filled from the homography with a
    wider refinement), re-refine outliers against the final homography,

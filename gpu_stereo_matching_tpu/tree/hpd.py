@@ -960,6 +960,10 @@ def pack_ints24(ints: np.ndarray) -> np.ndarray:
     """
     if ints.max(initial=0) >= (1 << 24):
         raise ValueError("plan index stream exceeds 24-bit packing range")
+    if ints.min(initial=0) < 0:
+        # A negative index would wrap through uint32 into a large in-range
+        # 24-bit value instead of failing — guard explicitly.
+        raise ValueError("plan index stream contains negative indices")
     v = ints.astype(np.uint32)
     return np.stack(
         [v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF]
@@ -1025,8 +1029,17 @@ def code_plan(
 
     # Indices are bounded by total (the dummy row), so 24-bit packing is
     # lossless whenever the plan fits — which it does for any frame size
-    # this framework targets (4K ≈ 10.8M positions < 2²⁴).
-    ints = pack_ints24(plan.ints) if total < (1 << 24) else plan.ints
+    # this framework targets (4K ≈ 10.8M positions < 2²⁴). Beyond that,
+    # fail loudly: a silent unpacked-i32 fallback would rank-mismatch the
+    # sharded dispatch specs (P('space', None, None) expects (3, L) u8) —
+    # callers that outgrow 24 bits should use PlanOrderPlan directly.
+    if total >= (1 << 24):
+        raise ValueError(
+            f"plan has {total} positions (>= 2^24); coded plans pack "
+            "indices as 24-bit u8 triples — use PlanOrderPlan for frames "
+            "this large"
+        )
+    ints = pack_ints24(plan.ints)
     cp = CodedPlan(
         n, total, plan.rounds_meta, ints, codes, table, steps, n_real
     )
@@ -1156,8 +1169,15 @@ def tree_filter_nodes_po_coded(
     total = plan.total_pos
     cost_ext = jnp.concatenate([cost_nodes, jnp.zeros((1, d), dt)], axis=0)
     ints = plan.ints
-    if ints.ndim == 2:  # 24-bit packed (3, L) u8 stream
+    if ints.ndim == 2 and ints.dtype == jnp.uint8:
+        # 24-bit packed (3, L) u8 stream; the dtype check keeps a stacked
+        # unpacked i32 fallback plan from being misread as packed bytes.
         ints = _unpack_ints24(ints)
+    elif ints.ndim != 1:
+        raise ValueError(
+            f"CodedPlan.ints must be (L,) i32 or (3, L) u8; got "
+            f"{ints.shape} {ints.dtype}"
+        )
     rounds, offs, perm, inv_perm = _unpack_po_ints(
         ints, plan.rounds_meta, total, plan.num_nodes
     )

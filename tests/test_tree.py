@@ -320,6 +320,10 @@ class TestPlanOrderFilter:
         )
         with pytest.raises(ValueError):
             pack_ints24(np.array([1 << 24], dtype=np.int32))
+        with pytest.raises(ValueError):
+            # Negative indices would wrap through uint32 into valid-looking
+            # 24-bit values — must be rejected, not packed.
+            pack_ints24(np.array([-1], dtype=np.int32))
 
     def test_coded_fields_reconstruct_bitwise(self, rng):
         """Device-side field reconstruction from codes reproduces every
