@@ -49,6 +49,7 @@ from gpu_stereo_matching_tpu.tree.hpd import (
     tree_filter_nodes_po,
     tree_filter_nodes_po_coded,
 )
+from gpu_stereo_matching_tpu.tree.stride import StridePlan, tree_filter_nodes_sb
 
 
 _cost_volume_jit = jax.jit(color_gradient_cost_volume, static_argnums=(2,))
@@ -58,7 +59,9 @@ _right_from_left_jit = jax.jit(right_cost_from_left)
 def _filter_wta_median(cost_nodes, plan, shape_hw):
     # cost_nodes: (N, D); returns median-filtered uint8 disparity (H, W).
     h, w = shape_hw
-    if isinstance(plan, CodedPlan):
+    if isinstance(plan, StridePlan):
+        filtered = tree_filter_nodes_sb(cost_nodes, plan)
+    elif isinstance(plan, CodedPlan):
         # NOTE: reduce="argmin" (WTA before the inverse permutation, one
         # int32 per node instead of D floats through the final gather)
         # measured SLOWER on v5e — 27.5 vs 25.7 ms/frame batched: an
@@ -120,7 +123,12 @@ def _st1_device_group(left_b, right_b, plans, num_disp):
     b = left_b.shape[0]
     outs = []
     for g in range(b):
-        if isinstance(plans, CodedPlan):
+        if isinstance(plans, StridePlan):
+            plan_g = StridePlan(
+                plans.num_nodes, plans.total_pos, plans.buckets,
+                plans.n_real, plans.ints[g], plans.codes[g], plans.table,
+            )
+        elif isinstance(plans, CodedPlan):
             plan_g = CodedPlan(
                 plans.num_nodes, plans.total_pos, plans.rounds_meta,
                 plans.ints[g], plans.codes[g], plans.table,

@@ -98,6 +98,15 @@ def _lib() -> ctypes.CDLL:
         lib.gsm_po_plan_fill.argtypes = [
             ctypes.c_void_p, ctypes.c_int32, i32p, i32p, i32p, f32p,
         ]
+        lib.gsm_sb_num_heads.restype = ctypes.c_int32
+        lib.gsm_sb_num_heads.argtypes = [ctypes.c_void_p]
+        lib.gsm_sb_head_info.restype = None
+        lib.gsm_sb_head_info.argtypes = [ctypes.c_void_p, i32p, i32p, i32p]
+        lib.gsm_sb_plan_fill.restype = ctypes.c_int32
+        lib.gsm_sb_plan_fill.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32, i32p, i32p,
+            i32p, u8p,
+        ]
         _LIB_CACHE = lib
     return _LIB_CACHE
 

@@ -811,3 +811,154 @@ void gsm_po_plan_fill(GsmHpdPlan* p, int32_t padded_rounds,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Stride-bucket plan emitter (tree/stride.py; the NumPy twin there is the
+// bit-exact oracle). Within each light-round, heavy paths are grouped into
+// power-of-two-length buckets and stored transposed (path p's j-th node at
+// local offset j*P + p) so path heads occupy static row-0 slices. See the
+// stride.py module docstring for the full layout contract.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+inline int32_t ceil_log2_i32(int32_t x) {
+  if (x <= 1) return 0;
+  int32_t e = 0;
+  while ((1 << e) < x) ++e;
+  return e;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Phase 1: per-path info for the registry-merged layout. Heads are
+// enumerated in ascending node id (matching the NumPy emitter's
+// lexsort tie-break); the caller sizes arrays with gsm_sb_num_heads.
+int32_t gsm_sb_num_heads(GsmHpdPlan* p) {
+  int32_t c = 0;
+  for (int32_t v = 0; v < p->n; ++v)
+    if (p->head_of[v] == v) ++c;
+  return c;
+}
+
+void gsm_sb_head_info(GsmHpdPlan* p, int32_t* head_node, int32_t* head_round,
+                      int32_t* path_len) {
+  std::vector<int32_t> len(p->n, 0);
+  for (int32_t v = 0; v < p->n; ++v) ++len[p->head_of[v]];
+  int32_t j = 0;
+  for (int32_t v = 0; v < p->n; ++v)
+    if (p->head_of[v] == v) {
+      head_node[j] = v;
+      head_round[j] = p->light_depth[v];
+      path_len[j] = len[v];
+      ++j;
+    }
+}
+
+// Phase 2: fill the plan given the registry-merged static layout.
+// caps: (rounds_padded, n_exp) row-major path-slot caps per stride
+// exponent. Output layout (must match stride.py _unpack_sb_ints):
+//   ints:  perm(total) | inv_perm(n) | per round with heads
+//          [parent_pos(H_t) | head_perm(H_t)]
+//   codes: (2, total) row-major [parent-distance, flags]; flags bit0 =
+//          zero-weight (padding and the root), bits1-2 = light count.
+// Returns 0, or -1 if any position has > 3 light children (impossible on
+// a 4-connected grid tree; guards corrupt input).
+int32_t gsm_sb_plan_fill(GsmHpdPlan* p, int32_t rounds_padded, int32_t n_exp,
+                         const int32_t* caps, const int32_t* parent_dist,
+                         int32_t* ints, uint8_t* codes) {
+  const int32_t n = p->n;
+  std::vector<int64_t> b_off((size_t)rounds_padded * n_exp, 0);
+  std::vector<int32_t> h_off((size_t)rounds_padded * n_exp, 0);
+  std::vector<int32_t> hp(rounds_padded, 0);
+  int64_t total = 0;
+  for (int32_t t = 0; t < rounds_padded; ++t) {
+    int32_t hacc = 0;
+    for (int32_t e = 0; e < n_exp; ++e) {
+      const int32_t pc = caps[(size_t)t * n_exp + e];
+      b_off[(size_t)t * n_exp + e] = total;
+      h_off[(size_t)t * n_exp + e] = hacc;
+      total += (int64_t)(1 << e) * pc;
+      hacc += pc;
+    }
+    hp[t] = hacc;
+  }
+
+  // Place every node: walk each head's heavy chain (ascending head id,
+  // bucket slot = running counter per (round, exp)).
+  std::vector<int32_t> len(n, 0);
+  for (int32_t v = 0; v < n; ++v) ++len[p->head_of[v]];
+  std::vector<int32_t> pos_of(n, 0);
+  std::vector<int32_t> head_raw(n, -1);  // head id -> raw in-round index
+  std::vector<int32_t> counter((size_t)rounds_padded * n_exp, 0);
+  int32_t* perm = ints;
+  for (int64_t i = 0; i < total; ++i) perm[i] = n;
+  for (int32_t v = 0; v < n; ++v) {
+    if (p->head_of[v] != v) continue;
+    const int32_t r = p->light_depth[v];
+    const int32_t e = ceil_log2_i32(len[v]);
+    const size_t key = (size_t)r * n_exp + e;
+    const int32_t slot = counter[key]++;
+    const int32_t pc = caps[key];
+    const int64_t base = b_off[key];
+    head_raw[v] = h_off[key] + slot;
+    int32_t u = v;
+    for (int32_t j = 0; j < len[v]; ++j) {
+      const int64_t pos = base + (int64_t)j * pc + slot;
+      pos_of[u] = (int32_t)pos;
+      perm[pos] = u;
+      u = p->heavy[u];
+    }
+  }
+  int32_t* inv_perm = ints + total;
+  for (int32_t v = 0; v < n; ++v) inv_perm[v] = pos_of[v];
+
+  // Codes: distance row + flags row with per-position light counts.
+  uint8_t* dist_row = codes;
+  uint8_t* flag_row = codes + total;
+  std::vector<uint8_t> cnt(total, 0);
+  for (int32_t v = 1; v < n; ++v) {
+    if (p->head_of[v] != v) continue;
+    uint8_t& c = cnt[pos_of[p->parent[v]]];
+    if (++c > 3) return -1;
+  }
+  for (int64_t i = 0; i < total; ++i) {
+    const int32_t v = perm[i];
+    dist_row[i] = v == n ? 0 : (uint8_t)parent_dist[v];
+    const uint8_t zero_w = (v == n || v == 0) ? 1 : 0;
+    flag_row[i] = (uint8_t)(zero_w | (cnt[i] << 1));
+  }
+
+  // Per-round head streams: parent positions (raw bucket order) and the
+  // (parent position, raw index)-sorted permutation, dummies at the tail.
+  int32_t* sp = inv_perm + n;
+  std::vector<int32_t> raws;
+  std::vector<int32_t> ppos;
+  for (int32_t t = 0; t < rounds_padded; ++t) {
+    if (hp[t] == 0) continue;
+    int32_t* parent_pos = sp;
+    int32_t* head_perm = sp + hp[t];
+    sp += 2 * (int64_t)hp[t];
+    for (int32_t i = 0; i < hp[t]; ++i) parent_pos[i] = (int32_t)total;
+    raws.clear();
+    ppos.assign(hp[t], 0);
+    for (int32_t v = 0; v < n; ++v) {
+      if (p->head_of[v] != v || p->light_depth[v] != t) continue;
+      const int32_t raw = head_raw[v];
+      parent_pos[raw] = v == 0 ? (int32_t)total : pos_of[p->parent[v]];
+      ppos[raw] = parent_pos[raw];
+      raws.push_back(raw);
+    }
+    std::sort(raws.begin(), raws.end());  // raw ascending (stable base)
+    std::stable_sort(raws.begin(), raws.end(),
+                     [&](int32_t a, int32_t b) { return ppos[a] < ppos[b]; });
+    int32_t i = 0;
+    for (int32_t raw : raws) head_perm[i++] = raw;
+    for (; i < hp[t]; ++i) head_perm[i] = hp[t];
+  }
+  return 0;
+}
+
+}  // extern "C"

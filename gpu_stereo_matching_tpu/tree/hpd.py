@@ -52,6 +52,7 @@ _K_REGISTRY: dict = {}  # (N, rounds) -> per-round max light-children slots
 _ROUNDS_REGISTRY: dict = {}  # N -> max padded round count seen
 _SCAN_REGISTRY: dict = {}  # (N, rounds) -> per-round pow2 max path length
 _REAL_ROUNDS_REGISTRY: dict = {}  # (N, rounds) -> max non-dummy rounds
+_BUCKET_REGISTRY: dict = {}  # (N, rounds) -> per-round per-exp path counts
 _REGISTRY_PATH = None
 _REGISTRY_LOADED = False
 _REGISTRY_LOCK = None
@@ -105,6 +106,10 @@ def _registry_load():
                     _REAL_ROUNDS_REGISTRY[(int(parts[1]), int(parts[2]))] = (
                         int(caps)
                     )
+                elif len(parts) == 3 and parts[0] == "B":
+                    _BUCKET_REGISTRY[(int(parts[1]), int(parts[2]))] = [
+                        [int(v) for v in row] for row in caps
+                    ]
                 elif len(parts) == 2 and parts[0] == "R":
                     _ROUNDS_REGISTRY[int(parts[1])] = int(caps)
                 elif len(parts) == 2:
@@ -133,6 +138,10 @@ def _registry_save():
         raw.update(
             {f"NR:{k[0]}:{k[1]}": v
              for k, v in _REAL_ROUNDS_REGISTRY.items()}
+        )
+        raw.update(
+            {f"B:{k[0]}:{k[1]}": [list(row) for row in v]
+             for k, v in _BUCKET_REGISTRY.items()}
         )
         raw.update({f"R:{k}": v for k, v in _ROUNDS_REGISTRY.items()})
         tmp = path + ".tmp"
@@ -204,6 +213,41 @@ def _registry_scan_caps(n: int, padded_rounds: int, needed):
             _SCAN_REGISTRY[key] = caps
             _registry_save()
         return caps
+
+
+def _registry_bucket_caps(n: int, padded_rounds: int, needed):
+    """Merge per-round per-stride-exponent path counts (stride-bucket
+    layout, :mod:`tree.stride`) into the persisted registry.
+
+    ``needed`` is a list (per round) of lists (per exponent e, stride 2^e)
+    of already-granularity-padded path counts. Merge is elementwise max
+    with ragged extension, like the K caps: monotone, so frame layouts
+    converge to one static shape per (N, rounds) key.
+    """
+    with _registry_lock():
+        _registry_load()
+        key = (n, padded_rounds)
+        caps = _BUCKET_REGISTRY.get(key)
+        grew = caps is None
+        if caps is None:
+            caps = [list(row) for row in needed]
+        else:
+            caps = [list(row) for row in caps]
+            while len(caps) < len(needed):
+                caps.append([])
+                grew = True
+            for row, nd_row in zip(caps, needed):
+                while len(row) < len(nd_row):
+                    row.append(0)
+                    grew = True
+                for e, nd in enumerate(nd_row):
+                    if nd > row[e]:
+                        row[e] = nd
+                        grew = True
+        if grew:
+            _BUCKET_REGISTRY[key] = [list(row) for row in caps]
+            _registry_save()
+        return [tuple(row) for row in caps]
 
 
 def _registry_real_rounds(n: int, padded_rounds: int, needed: int) -> int:

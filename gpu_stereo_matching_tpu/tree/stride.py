@@ -1,0 +1,650 @@
+"""Stride-bucket tree aggregation: the gather-minimal exact tree filter.
+
+The plan-order formulation (:mod:`tree.hpd`) made the heavy-path filter
+scatter-free, but it still pays for the tree's irregularity with *dense
+index streams*: every round gathers K·L light rows and L head rows even
+though only ~5% of them are real (Art 463×370: 842k gathered rows to move
+~81k real values — ~11 ms of the 25.7 ms frame). This module restructures
+the same mathematics — identical to the sequential reference filter
+``STMatching/SegmentTree.cpp:148-181`` up to float summation order —
+around a **stride-bucket layout** that makes every structural access
+static:
+
+* Within each light-round, heavy paths are grouped into power-of-two
+  length buckets. A bucket with stride S and P path slots stores path
+  ``p``'s ``j``-th node at local offset ``j·P + p`` — paths interleaved,
+  not concatenated. Three consequences:
+
+  1. **Path heads live in the first P rows of each bucket** — extracting
+     every head value of a round is a static slice + concat, not a gather.
+     The down-pass "pull the parent's final value" therefore gathers only
+     H real head rows per round instead of L dense rows.
+  2. **Scans are per-bucket with exactly log2(S) doubling steps** over a
+     reshaped (S, P, D) block — paths occupy disjoint columns, so no
+     segment-boundary masking is needed and short rounds stop early
+     (the plan-order layout scanned every round at the longest path's
+     step count). ~2× less scan work at Middlebury scale.
+  3. **Bucket padding replaces round padding**: positions are padded per
+     (round, pow2-length bucket) instead of per round, cutting total plan
+     positions ~1.64× → ~1.3× of N.
+
+* The up-pass light pull ("add w·S of each light child into its parent's
+  row") needs **no index stream at all**: light children of round t are
+  exactly the path heads of round t+1 (a light edge starts a new path).
+  The filter extracts round t+1's head values (static slices), reorders
+  them by (parent position, sibling rank) with one H-row gather
+  (``head_perm``), forms sibling prefix sums with two shifted adds, and
+  addresses the result with ``base = exclusive-cumsum(light_count)`` —
+  the per-position light counts ride two spare bits in the codes stream,
+  so the 24-bit light/head index streams of the coded plan (~2.6 MB/frame)
+  vanish from the transport entirely.
+
+Per-frame gather rows on Art drop from ~1.29M (coded plan) to ~0.66M:
+perm in (≈total), one destination-sized light pull per round (≈total),
+2·H head-side rows (H ≈ 40k paths), and inv_perm out (N).
+
+Plan payload: ``ints`` = perm ‖ inv_perm ‖ per-round [parent_pos ‖
+head_perm], 24-bit-packed u8 triples; ``codes`` = (2, total) u8
+[parent-distance code, flags]; ``table`` = the 256-entry exact weight LUT
+(:func:`tree.hpd.weight_lut`). Flags: bit0 = force-zero weight (root and
+padding), bits1-2 = light-child count (≤ 3: a non-root grid node has ≤ 3
+children of which one is heavy; the root ≤ 4, one heavy).
+
+Static layout (bucket path-slot caps, real round count) is converged
+through the same persisted registry as the HPD plans so all frames of a
+video share one compiled executable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpu_stereo_matching_tpu.tree.builder import SegmentTree
+from gpu_stereo_matching_tpu.tree.hpd import (
+    _exact_lut,
+    _pow2,
+    _registry_bucket_caps,
+    _registry_real_rounds,
+    _registry_rounds,
+    _registry_scan_caps,
+    _unpack_ints24,
+    pack_ints24,
+    weight_lut,
+)
+
+
+def _pad_count(p: int) -> int:
+    """Path-slot granularity: pow2 up to 8, then quarter-pow2 multiples.
+
+    Coarse enough that the layout registry converges in a few frames
+    (every cap bump recompiles), fine enough that slot padding stays
+    under ~25% — unlike the plan-order layout's full pow2 round caps.
+    """
+    if p <= 0:
+        return 0
+    if p <= 8:
+        return _pow2(p)
+    g = 1 << (int(p).bit_length() - 3)  # 2^(floor(log2 p) - 2)
+    return ((p + g - 1) // g) * g
+
+
+def _decompose(tree: SegmentTree):
+    """Heavy-path decomposition: per node (light_depth, head, path depth).
+
+    Same construction as ``tree.hpd._packed_arrays_numpy`` (heavy child =
+    max subtree, ties lowest id; pointer doubling for depths/heads).
+    """
+    n = tree.num_nodes
+    parent = tree.parent.astype(np.int64)
+    sub = tree.subtree_size
+
+    heavy = np.full(n, -1, np.int64)
+    ch = np.arange(n)
+    ch = ch[ch != 0]
+    order = np.lexsort((ch, -sub[ch], parent[ch]))
+    ch_sorted = ch[order]
+    par_sorted = parent[ch_sorted]
+    first = np.ones(len(ch_sorted), bool)
+    first[1:] = par_sorted[1:] != par_sorted[:-1]
+    heavy[par_sorted[first]] = ch_sorted[first]
+
+    is_heavy_child = np.zeros(n, bool)
+    is_heavy_child[heavy[heavy >= 0]] = True
+    light = ~is_heavy_child
+    light[0] = False
+
+    light_depth64 = light.astype(np.int64)
+    jump = parent.copy()
+    head_ptr = np.where(light | (np.arange(n) == 0), np.arange(n), parent)
+    max_depth = int(tree.num_levels)
+    rounds = max(1, int(np.ceil(np.log2(max(max_depth, 2)))))
+    for _ in range(rounds):
+        light_depth64 = light_depth64 + light_depth64[jump]
+        jump = jump[jump]
+        head_ptr = head_ptr[head_ptr]
+    head_of = head_ptr.astype(np.int64)
+    depth_in_path = (tree.level_of.astype(np.int64)
+                     - tree.level_of.astype(np.int64)[head_of])
+    return light_depth64.astype(np.int64), head_of, depth_in_path
+
+
+@dataclasses.dataclass(frozen=True)
+class StridePlan:
+    """Stride-bucket plan (see module docstring).
+
+    ``buckets``: per round, a tuple of ``(exp, P)`` — stride ``2**exp``
+    with ``P`` path slots; zero-slot buckets are omitted. ``n_real`` is
+    the number of leading rounds containing real nodes (the registry-
+    padded tail is skipped). ``ints`` is the 24-bit-packed index payload
+    ``perm(total) ‖ inv_perm(N) ‖ per round [parent_pos(H_t) ‖
+    head_perm(H_t)]`` with ``H_t = Σ P`` over round t's buckets.
+    """
+
+    num_nodes: int
+    total_pos: int
+    buckets: Tuple[Tuple[Tuple[int, int], ...], ...]
+    n_real: int
+    ints: jnp.ndarray   # (3, L) u8 (24-bit packed)
+    codes: jnp.ndarray  # (2, total) u8
+    table: jnp.ndarray  # (256, 2) f32
+
+    @property
+    def layout_key(self):
+        return (self.num_nodes, self.total_pos, self.buckets, self.n_real)
+
+    @staticmethod
+    def from_tree(
+        tree: SegmentTree, sigma: float, native: bool = True,
+        device: bool = True,
+    ) -> "StridePlan":
+        plan = build_stride_plan(tree, sigma, native=native)
+        if device:
+            plan = StridePlan(
+                plan.num_nodes, plan.total_pos, plan.buckets, plan.n_real,
+                jnp.asarray(plan.ints), jnp.asarray(plan.codes),
+                jnp.asarray(plan.table),
+            )
+        return plan
+
+
+jax.tree_util.register_pytree_node(
+    StridePlan,
+    lambda p: (
+        (p.ints, p.codes, p.table),
+        (p.num_nodes, p.total_pos, p.buckets, p.n_real),
+    ),
+    lambda aux, ch: StridePlan(
+        aux[0], aux[1], aux[2], aux[3], ch[0], ch[1], ch[2]
+    ),
+)
+
+
+def _layout_from_heads(n: int, head_round, path_len):
+    """Registry-converged static layout from per-path (round, length).
+
+    Returns (buckets, n_real, exp_of) where buckets[t] is the per-exponent
+    (stride 2^exp, path-slot cap) tuple for round t.
+    """
+    n_rounds = int(head_round.max()) + 1
+    padded_rounds = _registry_rounds(n, _pow2(n_rounds))
+
+    # Max path length cap per round (shared semantic with the coded
+    # plans' doubling-scan schedule registry).
+    need_caps = []
+    for t in range(padded_rounds):
+        sel = head_round == t
+        need_caps.append(
+            _pow2(int(path_len[sel].max())) if sel.any() else 1
+        )
+    scan_caps = _registry_scan_caps(n, padded_rounds, need_caps)
+
+    # Per-(round, exponent) path-slot counts, granularity-padded.
+    exp_of = np.zeros(len(path_len), np.int64)
+    nz = path_len > 1
+    exp_of[nz] = np.ceil(np.log2(path_len[nz])).astype(np.int64)
+    needed = []
+    need_real = 0
+    for t in range(padded_rounds):
+        sel = head_round == t
+        max_e = int(np.log2(scan_caps[t]))
+        row = [0] * (max_e + 1)
+        if sel.any():
+            need_real = t + 1
+            for e, c in zip(*np.unique(exp_of[sel], return_counts=True)):
+                row[int(e)] = _pad_count(int(c))
+        needed.append(row)
+    caps = _registry_bucket_caps(n, padded_rounds, needed)
+    n_real = _registry_real_rounds(n, padded_rounds, need_real)
+    buckets = tuple(
+        tuple((e, int(p)) for e, p in enumerate(row) if p > 0)
+        for row in caps
+    )
+    return buckets, n_real, exp_of
+
+
+def _layout_offsets(buckets):
+    """Static offsets for a bucket layout: per-round position/head bases."""
+    round_off = []
+    bucket_off = []  # per round: {exp: position offset within the plan}
+    head_off = []    # per round: {exp: head index offset within the round}
+    total = 0
+    for row in buckets:
+        round_off.append(total)
+        bo, ho = {}, {}
+        h_acc = 0
+        for e, p in row:
+            bo[e] = total
+            ho[e] = h_acc
+            total += (1 << e) * p
+            h_acc += p
+        bucket_off.append(bo)
+        head_off.append(ho)
+    hp = [sum(p for _e, p in row) for row in buckets]
+    return round_off, bucket_off, head_off, hp, total
+
+
+def build_stride_plan(
+    tree: SegmentTree, sigma: float, native: bool = True
+) -> StridePlan:
+    """Emit the stride-bucket plan (host NumPy arrays).
+
+    ``native=True`` runs the C++ emitter (``gsm_sb_plan_*``, the streaming
+    host hot path); ``native=False`` is the bit-exact vectorized-NumPy
+    oracle. Both share the registry-converged layout.
+    """
+    n = tree.num_nodes
+    if native:
+        ints, codes, buckets, n_real, total = _emit_native(tree)
+    else:
+        light_depth, head_of, depth_in_path = _decompose(tree)
+        heads = np.flatnonzero(head_of == np.arange(n))
+        path_len = np.bincount(head_of, minlength=n)[heads]
+        head_round = light_depth[heads]
+        buckets, n_real, exp_of = _layout_from_heads(n, head_round, path_len)
+        round_off, bucket_off, head_off, hp, total = _layout_offsets(buckets)
+        ints, codes = _emit_numpy(
+            tree, buckets, round_off, bucket_off, head_off, hp, total,
+            light_depth, head_of, depth_in_path,
+            heads, path_len, head_round, exp_of,
+        )
+    return StridePlan(
+        num_nodes=n, total_pos=total, buckets=buckets, n_real=n_real,
+        ints=pack_ints24(ints), codes=codes, table=weight_lut(sigma),
+    )
+
+
+def _emit_numpy(
+    tree, buckets, round_off, bucket_off, head_off, hp, total,
+    light_depth, head_of, depth_in_path,
+    heads, path_len, head_round, exp_of,
+):
+    n = tree.num_nodes
+    parent = tree.parent.astype(np.int64)
+
+    # Path slot per head: within (round, exp), order by head node id
+    # (deterministic; the up-pass reorders by parent position anyway).
+    slot_of_head = np.empty(len(heads), np.int64)
+    order = np.lexsort((heads, exp_of, head_round))
+    hs = heads[order]
+    key_r = head_round[order]
+    key_e = exp_of[order]
+    newgrp = np.ones(len(hs), bool)
+    newgrp[1:] = (key_r[1:] != key_r[:-1]) | (key_e[1:] != key_e[:-1])
+    grp_start = np.maximum.accumulate(
+        np.where(newgrp, np.arange(len(hs)), 0)
+    )
+    slot_sorted = np.arange(len(hs)) - grp_start
+    slot_of_head[order] = slot_sorted
+
+    head_slot = np.zeros(n, np.int64)   # per node: its path's slot
+    head_exp = np.zeros(n, np.int64)    # per node: its path's exponent
+    head_slot[heads] = slot_of_head
+    head_exp[heads] = exp_of
+    head_slot = head_slot[head_of]
+    head_exp = head_exp[head_of]
+
+    # Position of every node: bucket base + j·P + slot.
+    r_of = light_depth
+    p_caps = np.zeros((len(buckets), max(
+        (max((e for e, _p in row), default=0) for row in buckets), default=0
+    ) + 1), np.int64)
+    b_offs = np.zeros_like(p_caps)
+    for t, row in enumerate(buckets):
+        for e, p in row:
+            p_caps[t, e] = p
+            b_offs[t, e] = bucket_off[t][e]
+    pos_of = (
+        b_offs[r_of, head_exp]
+        + depth_in_path * p_caps[r_of, head_exp]
+        + head_slot
+    )
+
+    perm = np.full(total, n, np.int64)
+    perm[pos_of] = np.arange(n)
+    inv_perm = pos_of
+
+    # Parent positions per head (bucket order), light counts per position.
+    parent_pos_node = np.where(np.arange(n) == 0, total, pos_of[parent])
+    # Light-child count per plan position: every non-root head is the
+    # light child of its parent's position.
+    cnt = np.bincount(
+        parent_pos_node[heads[heads != 0]], minlength=total + 1
+    )[:total]
+    if cnt.max(initial=0) > 3:
+        raise AssertionError("grid node with > 3 light children")
+
+    codes = np.zeros((2, total), np.uint8)
+    real = perm != n
+    codes[0, real] = tree.parent_dist[perm[real]].astype(np.uint8)
+    zero_w = ~real
+    zero_w[pos_of[0]] = True  # the root carries no parent edge
+    codes[1] = (zero_w + 2 * cnt).astype(np.uint8)
+
+    # Per-round head streams.
+    h_offs = np.zeros_like(p_caps)
+    for t, row in enumerate(buckets):
+        for e, _p in row:
+            h_offs[t, e] = head_off[t][e]
+    stream_parts = [perm, inv_perm]
+    for t, row in enumerate(buckets):
+        h_t = hp[t]
+        if h_t == 0:
+            continue
+        parent_pos = np.full(h_t, total, np.int64)
+        is_real = np.zeros(h_t, bool)
+        sel = head_round == t
+        hsel = heads[sel]
+        idx_in_round = h_offs[t, exp_of[sel]] + slot_of_head[sel]
+        parent_pos[idx_in_round] = parent_pos_node[hsel]
+        is_real[idx_in_round] = True
+        # head_perm: real heads sorted by (parent position, head index)
+        # first — sibling runs become adjacent for the prefix-sum trick —
+        # dummies at the tail pointing past the raw array (a zero row).
+        real_idx = np.flatnonzero(is_real)
+        order = real_idx[np.lexsort((real_idx, parent_pos[real_idx]))]
+        head_perm = np.concatenate(
+            [order, np.full(h_t - len(order), h_t, np.int64)]
+        )
+        stream_parts += [parent_pos, head_perm]
+
+    ints = np.concatenate(stream_parts).astype(np.int32)
+    return ints, codes
+
+
+def _emit_native(tree: SegmentTree):
+    """One-shot C++ emission (see ``gsm_sb_plan_*`` in segment_tree.cpp).
+
+    The C++ core recomputes the heavy-path decomposition in one BFS pass
+    (the NumPy pointer-doubling twin costs ~70 ms/frame at Middlebury
+    size); Python keeps only the registry-converged layout math.
+    """
+    import ctypes
+
+    from gpu_stereo_matching_tpu.tree.builder import _lib
+
+    lib = _lib()
+    n = tree.num_nodes
+    weights = tree.parent_weights(0.1).astype(np.float32)  # layout-unused
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+
+    def p32(a):
+        return np.ascontiguousarray(a, np.int32).ctypes.data_as(i32p)
+
+    handle = ctypes.c_void_p(
+        lib.gsm_hpd_plan_new(
+            n, p32(tree.parent), p32(tree.level_of),
+            p32(tree.subtree_size), p32(tree.bfs_order),
+            weights.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+    )
+    try:
+        nh = lib.gsm_sb_num_heads(handle)
+        head_node = np.empty(nh, np.int32)
+        head_round = np.empty(nh, np.int32)
+        path_len = np.empty(nh, np.int32)
+        lib.gsm_sb_head_info(
+            handle, p32(head_node), head_round.ctypes.data_as(i32p),
+            path_len.ctypes.data_as(i32p),
+        )
+        buckets, n_real, _exp = _layout_from_heads(
+            n, head_round.astype(np.int64), path_len.astype(np.int64)
+        )
+        _ro, _bo, _ho, hp, total = _layout_offsets(buckets)
+        n_exp = max(
+            (max((e for e, _p in row), default=0) for row in buckets),
+            default=0,
+        ) + 1
+        caps = np.zeros((len(buckets), n_exp), np.int32)
+        for t, row in enumerate(buckets):
+            for e, p in row:
+                caps[t, e] = p
+        n_streams = sum(2 * h for h in hp if h > 0)
+        ints = np.empty(total + n + n_streams, np.int32)
+        codes = np.empty((2, total), np.uint8)
+        rc = lib.gsm_sb_plan_fill(
+            handle, len(buckets), n_exp,
+            caps.ctypes.data_as(i32p), p32(tree.parent_dist),
+            ints.ctypes.data_as(i32p),
+            codes.ctypes.data_as(u8p),
+        )
+        if rc != 0:
+            raise RuntimeError(f"gsm_sb_plan_fill failed (code {rc})")
+    finally:
+        lib.gsm_hpd_plan_free(handle)
+    return ints, codes, buckets, n_real, total
+
+
+def _unpack_sb_ints(ints, plan: StridePlan):
+    total, n = plan.total_pos, plan.num_nodes
+    perm = ints[:total]
+    inv_perm = ints[total : total + n]
+    off = total + n
+    head_streams = []
+    for row in plan.buckets:
+        h_t = sum(p for _e, p in row)
+        if h_t == 0:
+            head_streams.append((None, None))
+            continue
+        head_streams.append(
+            (ints[off : off + h_t], ints[off + h_t : off + 2 * h_t])
+        )
+        off += 2 * h_t
+    return perm, inv_perm, head_streams
+
+
+def _scan_affine(a, b, steps: int, reverse: bool):
+    """Per-bucket Hillis–Steele affine scan along axis 0 of (S, P, D).
+
+    Identical recurrence and step order to ``tree.hpd._seg_scan``; no
+    boundary masking is needed because paths occupy disjoint columns.
+    """
+    dt = b.dtype
+    for k in range(steps):
+        sh = 1 << k
+        if sh >= b.shape[0]:
+            break
+        pad_a = jnp.ones((sh,) + a.shape[1:], dt)
+        pad_b = jnp.zeros((sh,) + b.shape[1:], dt)
+        if reverse:
+            a_sh = jnp.concatenate([a[sh:], pad_a], axis=0)
+            b_sh = jnp.concatenate([b[sh:], pad_b], axis=0)
+        else:
+            a_sh = jnp.concatenate([pad_a, a[:-sh]], axis=0)
+            b_sh = jnp.concatenate([pad_b, b[:-sh]], axis=0)
+        b = b + a * b_sh
+        a = a * a_sh
+    return b
+
+
+def tree_filter_nodes_sb(
+    cost_nodes: jnp.ndarray, plan: StridePlan
+) -> jnp.ndarray:
+    """Exact (N, D) non-local aggregation from a stride-bucket plan.
+
+    Matches :func:`tree.hpd.tree_filter_nodes_po` (and therefore the
+    reference filter) to float tolerance: per-path scan step order is
+    identical, but sibling light contributions are pre-summed pairwise
+    ((h1+h2)+h3 instead of ((b+h1)+h2)+h3) and bucket scans stop at the
+    bucket's own log2(S) instead of the round maximum.
+    """
+    d = cost_nodes.shape[1]
+    dt = cost_nodes.dtype
+    total = plan.total_pos
+    ints = plan.ints
+    if ints.ndim == 2 and ints.dtype == jnp.uint8:
+        ints = _unpack_ints24(ints)
+    perm, inv_perm, head_streams = _unpack_sb_ints(ints, plan)
+
+    vals = _exact_lut(plan.codes[0], plan.table)
+    flags = plan.codes[1].astype(jnp.int32)
+    zero = (flags & 1) != 0
+    w = jnp.where(zero, jnp.zeros_like(vals[:, 0]), vals[:, 0])
+    omw2 = jnp.where(zero, jnp.ones_like(vals[:, 1]), vals[:, 1])
+    cnt = (flags >> 1) & 3
+
+    cost_ext = jnp.concatenate([cost_nodes, jnp.zeros((1, d), dt)], axis=0)
+    cost_plan = cost_ext[perm]
+
+    live = list(range(min(plan.n_real if plan.n_real >= 0 else len(
+        plan.buckets), len(plan.buckets))))
+    round_off = []
+    off = 0
+    for row in plan.buckets:
+        round_off.append(off)
+        off += sum((1 << e) * p for e, p in row)
+    hp = [sum(p for _e, p in row) for row in plan.buckets]
+
+    # ---- Up pass (leaf-most round first) -------------------------------
+    s_blocks: dict = {}   # round -> list of (S, P, D) scanned blocks
+    ws_heads: dict = {}   # round -> (H_t, D) w·s at heads, bucket order
+    for t in reversed(live):
+        off_t = round_off[t]
+        l_t = sum((1 << e) * p for e, p in plan.buckets[t])
+        b_t = jax.lax.slice_in_dim(cost_plan, off_t, off_t + l_t, axis=0)
+
+        nxt = t + 1
+        if nxt < len(plan.buckets) and nxt in ws_heads and hp[nxt] > 0:
+            h_nx = hp[nxt]
+            _pp, head_perm = head_streams[nxt]
+            raw_ext = jnp.concatenate(
+                [ws_heads[nxt], jnp.zeros((1, d), dt)], axis=0
+            )
+            h1 = raw_ext[head_perm]  # sorted by (parent pos, rank)
+            z1 = jnp.zeros((1, d), dt)
+            # Sibling prefix sums via shifted adds; the pad keeps every
+            # shift exactly H rows (h1[k:] alone under-fills when H < k).
+            h1p = jnp.concatenate([h1, z1, z1], axis=0)
+            h2 = h1 + h1p[1 : h_nx + 1]
+            h3 = h2 + h1p[2 : h_nx + 2]
+            stacked = jnp.concatenate([h1, h2, h3, z1], axis=0)
+            cnt_t = jax.lax.slice_in_dim(cnt, off_t, off_t + l_t, axis=0)
+            base = jnp.cumsum(cnt_t) - cnt_t
+            idx = jnp.where(cnt_t > 0, base + h_nx * (cnt_t - 1), 3 * h_nx)
+            b_t = b_t + stacked[idx]
+
+        blocks, heads_t = [], []
+        bo = 0
+        for e, p in plan.buckets[t]:
+            s_e = 1 << e
+            blk = jax.lax.slice_in_dim(
+                b_t, bo, bo + s_e * p, axis=0
+            ).reshape(s_e, p, d)
+            w_blk = jax.lax.slice_in_dim(
+                w, off_t + bo, off_t + bo + s_e * p, axis=0
+            ).reshape(s_e, p)
+            a_blk = jnp.concatenate(
+                [w_blk[1:], jnp.zeros((1, p), dt)], axis=0
+            )[:, :, None]
+            s_blk = _scan_affine(a_blk, blk, e, reverse=True)
+            blocks.append((e, p, s_blk, w_blk))
+            heads_t.append(w_blk[0][:, None] * s_blk[0])
+            bo += s_e * p
+        s_blocks[t] = blocks
+        ws_heads[t] = (
+            jnp.concatenate(heads_t, axis=0) if heads_t
+            else jnp.zeros((0, d), dt)
+        )
+
+    # ---- Down pass (root round first) ----------------------------------
+    f_buf = jnp.zeros((total + 1, d), dt)
+    for t in live:
+        off_t = round_off[t]
+        parent_pos, _hperm = head_streams[t]
+        fp = f_buf[parent_pos] if parent_pos is not None else None
+        f_parts = []
+        bo = 0
+        h_acc = 0
+        for e, p, s_blk, w_blk in s_blocks[t]:
+            s_e = 1 << e
+            omw2_blk = jax.lax.slice_in_dim(
+                omw2, off_t + bo, off_t + bo + s_e * p, axis=0
+            ).reshape(s_e, p)
+            b_blk = omw2_blk[:, :, None] * s_blk
+            row0 = b_blk[0]
+            if fp is not None:
+                row0 = row0 + w_blk[0][:, None] * jax.lax.slice_in_dim(
+                    fp, h_acc, h_acc + p, axis=0
+                )
+            b_blk = jnp.concatenate([row0[None], b_blk[1:]], axis=0)
+            a_blk = jnp.concatenate(
+                [jnp.zeros((1, p), dt), w_blk[1:]], axis=0
+            )[:, :, None]
+            f_blk = _scan_affine(a_blk, b_blk, e, reverse=False)
+            f_parts.append(f_blk.reshape(s_e * p, d))
+            bo += s_e * p
+            h_acc += p
+        if f_parts:
+            f_buf = jax.lax.dynamic_update_slice(
+                f_buf, jnp.concatenate(f_parts, axis=0), (off_t, 0)
+            )
+
+    return f_buf[inv_perm]
+
+
+def stack_stride_plans(plans) -> StridePlan:
+    """Stack same-layout stride plans (shared table, batched ints/codes)."""
+    p0 = plans[0]
+    for p in plans[1:]:
+        if p.layout_key != p0.layout_key:
+            raise ValueError(
+                "plan layouts diverged; rebuild until layout_keys agree"
+            )
+        if not np.array_equal(np.asarray(p.table), np.asarray(p0.table)):
+            raise ValueError("stride plans must share one weight table (σ)")
+    if all(isinstance(p.ints, np.ndarray) for p in plans):
+        ints = np.stack([p.ints for p in plans])
+        codes = np.stack([p.codes for p in plans])
+    else:
+        ints = jnp.stack([p.ints for p in plans])
+        codes = jnp.stack([p.codes for p in plans])
+    return StridePlan(
+        p0.num_nodes, p0.total_pos, p0.buckets, p0.n_real,
+        ints, codes, p0.table,
+    )
+
+
+def converged_stride_batch(trees, sigma: float, native: bool = True) -> StridePlan:
+    """One stacked stride plan for several same-size trees.
+
+    Building a plan can grow the layout registry (a longer path, a fuller
+    bucket), so iterate until every plan reports the same layout key —
+    monotone caps bound this at a handful of host-side re-emissions.
+    """
+    plans = [
+        StridePlan.from_tree(t, sigma, native=native, device=False)
+        for t in trees
+    ]
+    for _ in range(8):
+        if len({p.layout_key for p in plans}) == 1:
+            return stack_stride_plans(plans)
+        plans = [
+            StridePlan.from_tree(t, sigma, native=native, device=False)
+            for t in trees
+        ]
+    raise RuntimeError("plan layouts failed to converge")  # pragma: no cover
