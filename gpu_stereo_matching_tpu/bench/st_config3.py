@@ -55,7 +55,7 @@ def run_config3(
     from gpu_stereo_matching_tpu.models.segment_tree_stream import (
         SegmentTreeBatchPipeline,
     )
-    from gpu_stereo_matching_tpu.tree.hpd import stack_coded_plans
+    from gpu_stereo_matching_tpu.tree.stride import stack_stride_plans
     from gpu_stereo_matching_tpu.utils.cache import enable_jit_cache
 
     enable_jit_cache()
@@ -81,7 +81,7 @@ def run_config3(
         if len({p.layout_key for p in plans}) == 1:
             break
         plans = [pipe._build_plan(f[0]) for f in frames]
-    stacked = jax.device_put(stack_coded_plans(plans))
+    stacked = jax.device_put(stack_stride_plans(plans))
     jl = jax.device_put(np.stack([f[0] for f in frames]))
     jr = jax.device_put(np.stack([f[1] for f in frames]))
 
@@ -105,13 +105,12 @@ def run_config3(
     band_l, band_r = left[:hb], right[:hb]
     pipe_b = SegmentTreeBatchPipeline(cfg, group_size=1)
     plan_b = pipe_b._build_plan(band_l)
-    plan_b = jax.device_put(stack_coded_plans([plan_b]))
-    from gpu_stereo_matching_tpu.tree.hpd import CodedPlan
+    plan_b = jax.device_put(stack_stride_plans([plan_b]))
+    from gpu_stereo_matching_tpu.tree.stride import StridePlan
 
-    plan_b1 = CodedPlan(
-        plan_b.num_nodes, plan_b.total_pos, plan_b.rounds_meta,
+    plan_b1 = StridePlan(
+        plan_b.num_nodes, plan_b.total_pos, plan_b.buckets, plan_b.n_real,
         plan_b.ints[0], plan_b.codes[0], plan_b.table,
-        plan_b.scan_steps, plan_b.n_real,
     )
     bl, br = jax.device_put(band_l), jax.device_put(band_r)
     best_b = _best(

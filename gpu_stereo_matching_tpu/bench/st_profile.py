@@ -3,7 +3,7 @@
 Separates the group pipeline's costs so optimization targets the real
 bottleneck (the reference's per-stage-timer pattern, ``Device.cu:204-292``):
 
-* host build:   weights -> FH tree -> plan-order plan, per frame (C++)
+* host build:   weights -> FH tree -> stride-bucket plan, per frame (C++)
 * plan upload:  stacked plan arrays host->device, fenced
 * image upload: stacked frame pairs host->device, fenced
 * device:       the fused group dispatch, fenced by a scalar fetch
@@ -44,7 +44,7 @@ def run_profile(
     from gpu_stereo_matching_tpu.models.segment_tree_stream import (
         SegmentTreeBatchPipeline,
     )
-    from gpu_stereo_matching_tpu.tree.hpd import CodedPlan, stack_coded_plans
+    from gpu_stereo_matching_tpu.tree.stride import StridePlan, stack_stride_plans
     from gpu_stereo_matching_tpu.utils.cache import enable_jit_cache
 
     enable_jit_cache()
@@ -77,7 +77,7 @@ def run_profile(
         if len({p.layout_key for p in plans}) == 1:
             break
         plans = [pipe._build_plan(f[0]) for f in frames]
-    stacked = stack_coded_plans(plans)
+    stacked = stack_stride_plans(plans)
     out["plan_ints_mb"] = stacked.ints.nbytes / 1e6
     out["plan_codes_mb"] = stacked.codes.nbytes / 1e6
 
@@ -86,11 +86,11 @@ def run_profile(
     out["images_mb"] = lefts.nbytes * 2 / 1e6
 
     def dev_plan():
-        return CodedPlan(
-            stacked.num_nodes, stacked.total_pos, stacked.rounds_meta,
-            jax.device_put(stacked.ints), jax.device_put(stacked.codes),
-            jax.device_put(stacked.table), stacked.scan_steps,
+        return StridePlan(
+            stacked.num_nodes, stacked.total_pos, stacked.buckets,
             stacked.n_real,
+            jax.device_put(stacked.ints), jax.device_put(stacked.codes),
+            jax.device_put(stacked.table),
         )
 
     # Uploads, fenced.
@@ -128,12 +128,12 @@ def run_profile(
     out["device_ms_per_frame"] = best * 1e3 / group_size
 
     # Single-frame dispatch for comparison.
-    p1 = CodedPlan(
-        stacked.num_nodes, stacked.total_pos, stacked.rounds_meta,
+    p1 = StridePlan(
+        stacked.num_nodes, stacked.total_pos, stacked.buckets,
+        stacked.n_real,
         jax.device_put(np.asarray(stacked.ints[0])),
         jax.device_put(np.asarray(stacked.codes[0])),
         jax.device_put(np.asarray(stacked.table)),
-        stacked.scan_steps, stacked.n_real,
     )
     r1 = _st1_device_jit(jl[0], jr[0], p1, cfg.max_disp_levels)
     _fence(r1)

@@ -9,7 +9,7 @@ frames.
 Two numbers are reported:
 
 * ``st1_device_fps_per_chip`` — the scalar-fenced group dispatch
-  (cost → coded filter → WTA → median for ``group_size`` frames in one
+  (cost → stride-bucket filter → WTA → median for ``group_size`` frames in one
   call) divided by the group size. This is the chip's sustained ST-1
   rate with data resident; it is what a production host with a real
   PCIe/DMA link gets out of one chip.
@@ -88,7 +88,7 @@ def run_st_streaming_benchmark(
     from gpu_stereo_matching_tpu.models.segment_tree import (
         _st1_device_group_jit,
     )
-    from gpu_stereo_matching_tpu.tree.hpd import stack_coded_plans
+    from gpu_stereo_matching_tpu.tree.stride import stack_stride_plans
 
     cfg = pipe.config
     group = frames[:group_size]
@@ -97,7 +97,7 @@ def run_st_streaming_benchmark(
         if len({p.layout_key for p in plans}) == 1:
             break
         plans = [pipe._build_plan(f[0]) for f in group]
-    stacked = stack_coded_plans(plans)
+    stacked = stack_stride_plans(plans)
     jl = jax.device_put(np.stack([f[0] for f in group]))
     jr = jax.device_put(np.stack([f[1] for f in group]))
     dev_plan = jax.device_put(stacked)

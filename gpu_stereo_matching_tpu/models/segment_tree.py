@@ -194,10 +194,11 @@ def _aggregate_select(
         tau=cfg.tau, min_size=cfg.min_size_seg, penalty=cfg.penalty_cross_seg,
         weight_scale=weight_scale,
     )
-    # Coded plan-order heavy-path plan: O(log²N)-depth scans, scatter-free
-    # (so it batches/shards) with the float payload shipped as u8 codes
-    # (see tree/hpd.py CodedPlan).
-    plan = CodedPlan.from_tree(tree, sigma)
+    # Stride-bucket heavy-path plan: O(log²N)-depth per-bucket scans with
+    # static head slices and in-graph light addressing — the fastest and
+    # smallest-transport formulation (see tree/stride.py; the coded
+    # plan-order path remains as an oracle).
+    plan = StridePlan.from_tree(tree, sigma)
     return np.asarray(_filter_wta_median_jit(_to_nodes(cost), plan, (h, w)))
 
 
@@ -219,7 +220,7 @@ def st1_disparity(
         tau=config.tau, min_size=config.min_size_seg,
         penalty=config.penalty_cross_seg, weight_scale=1.0,
     )
-    plan = CodedPlan.from_tree(tree, config.sigma)
+    plan = StridePlan.from_tree(tree, config.sigma)
     disp = np.asarray(
         _st1_device_jit(
             jnp.asarray(left_bgr), jnp.asarray(right_bgr), plan,

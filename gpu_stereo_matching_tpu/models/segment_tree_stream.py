@@ -31,7 +31,7 @@ from gpu_stereo_matching_tpu.models.segment_tree import (
     _st1_device_jit,
 )
 from gpu_stereo_matching_tpu.tree.builder import build_segment_tree, color_edge_weights
-from gpu_stereo_matching_tpu.tree.hpd import CodedPlan, stack_coded_plans
+from gpu_stereo_matching_tpu.tree.stride import StridePlan, stack_stride_plans
 
 
 class SegmentTreeVideoPipeline:
@@ -40,7 +40,7 @@ class SegmentTreeVideoPipeline:
     def __init__(self, config: SegmentTreeConfig = SegmentTreeConfig()) -> None:
         self.config = config
 
-    def _host_build(self, left_bgr: np.ndarray) -> CodedPlan:
+    def _host_build(self, left_bgr: np.ndarray) -> StridePlan:
         cfg = self.config
         h, w = left_bgr.shape[:2]
         weights = color_edge_weights(left_bgr)
@@ -49,7 +49,7 @@ class SegmentTreeVideoPipeline:
             tau=cfg.tau, min_size=cfg.min_size_seg,
             penalty=cfg.penalty_cross_seg, weight_scale=1.0,
         )
-        return CodedPlan.from_tree(tree, cfg.sigma)
+        return StridePlan.from_tree(tree, cfg.sigma)
 
     def process(
         self, frames: Iterable[Tuple[np.ndarray, np.ndarray]]
@@ -110,7 +110,7 @@ class SegmentTreeBatchPipeline:
         self.group_size = group_size
         self.workers = workers
 
-    def _build_plan(self, left_bgr: np.ndarray) -> CodedPlan:
+    def _build_plan(self, left_bgr: np.ndarray) -> StridePlan:
         cfg = self.config
         h, w = left_bgr.shape[:2]
         weights = color_edge_weights(left_bgr)
@@ -120,9 +120,9 @@ class SegmentTreeBatchPipeline:
             penalty=cfg.penalty_cross_seg, weight_scale=1.0,
         )
         # Host-side arrays: the group ships as ONE stacked plan upload.
-        return CodedPlan.from_tree(tree, cfg.sigma, device=False)
+        return StridePlan.from_tree(tree, cfg.sigma, device=False)
 
-    def _host_build_group(self, group, pool) -> Tuple[np.ndarray, np.ndarray, CodedPlan, int]:
+    def _host_build_group(self, group, pool) -> Tuple[np.ndarray, np.ndarray, StridePlan, int]:
         """Stack a (possibly short) group; pad by repeating the last frame."""
         n_real = len(group)
         g = self.group_size
@@ -136,7 +136,7 @@ class SegmentTreeBatchPipeline:
             if len({p.layout_key for p in plans}) == 1:
                 break
             plans = list(pool.map(self._build_plan, [f[0] for f in padded]))
-        return lefts, rights, stack_coded_plans(plans), n_real
+        return lefts, rights, stack_stride_plans(plans), n_real
 
     def process(
         self, frames: Iterable[Tuple[np.ndarray, np.ndarray]]

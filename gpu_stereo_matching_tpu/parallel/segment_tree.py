@@ -18,12 +18,13 @@ and each shard computes them from its own band crop — exactly the
 semantics of :mod:`models.segment_tree_tiled`, which this module matches
 bit-for-bit (tested on the 8-device CPU mesh).
 
-Device-side execution uses the scatter-free coded plan-order filter
-(:func:`tree.hpd.tree_filter_nodes_po_coded`): per-band plans are
-layout-converged (:func:`tree.hpd.converged_coded_batch`) so all shards run
-the SAME static program — one compile, no per-band recompilation — and the
-plan tensors ship as stacked flat arrays sharded over ``space`` (the u8
-code stream instead of the f32 payload — ~2× less plan traffic per band).
+Device-side execution uses the stride-bucket filter
+(:func:`tree.stride.tree_filter_nodes_sb`): per-band plans are
+layout-converged (:func:`tree.stride.converged_stride_batch`) so all shards
+run the SAME static program — one compile, no per-band recompilation — and
+the plan tensors ship as stacked flat arrays sharded over ``space`` (u8
+codes + 24-bit-packed perm/head streams — ~4-5× less plan traffic per band
+than the f32 plan-order payload).
 
 ST-2 (``STMatching/StereoDisparity.cpp:91-159``) distributes as TWO sharded
 dispatches with one host stage between them, mirroring the reference's own
@@ -52,7 +53,7 @@ from gpu_stereo_matching_tpu.tree.builder import (
     color_depth_edge_weights,
     color_edge_weights,
 )
-from gpu_stereo_matching_tpu.tree.hpd import CodedPlan, converged_coded_batch
+from gpu_stereo_matching_tpu.tree.stride import StridePlan, converged_stride_batch
 
 
 def _band_trees(img_bgr: np.ndarray, num_bands: int, config: SegmentTreeConfig,
@@ -84,31 +85,28 @@ def build_band_plans(
     num_bands: int,
     config: SegmentTreeConfig,
     sigma: Optional[float] = None,
-) -> CodedPlan:
+) -> StridePlan:
     """Host stage: one segment tree per equal-height band → stacked plan.
 
     Weights come from each band's crop (3×3-median presmooth and all), the
-    same per-band semantics as ``st1_disparity_tiled``. The stacked coded
+    same per-band semantics as ``st1_disparity_tiled``. The stacked stride
     plan has a leading ``num_bands`` axis on ``ints``/``codes`` and one
     shared static layout (registry-converged), so it shards over ``space``
     without per-shard recompilation.
     """
     trees = _band_trees(left_bgr, num_bands, config)
-    return converged_coded_batch(
+    return converged_stride_batch(
         trees, config.sigma if sigma is None else sigma
     )
 
 
-def _plan_key(plan: CodedPlan):
-    return (
-        plan.num_nodes, plan.total_pos, plan.rounds_meta, plan.scan_steps,
-        plan.n_real,
-    )
+def _plan_key(plan: StridePlan):
+    return plan.layout_key
 
 
-def _local_plan(key, ints, codes, table) -> CodedPlan:
-    n, total, meta, steps, n_real = key
-    return CodedPlan(n, total, meta, ints[0], codes[0], table, steps, n_real)
+def _local_plan(key, ints, codes, table) -> StridePlan:
+    n, total, buckets, n_real = key
+    return StridePlan(n, total, buckets, n_real, ints[0], codes[0], table)
 
 
 @functools.lru_cache(maxsize=8)
@@ -160,7 +158,7 @@ def _put_bands(mesh: Mesh, img: np.ndarray, n_space: int):
     )
 
 
-def _put_plan(mesh: Mesh, plan: CodedPlan):
+def _put_plan(mesh: Mesh, plan: StridePlan):
     plan_sh = NamedSharding(mesh, P("space", None, None))
     codes_sh = NamedSharding(mesh, P("space", None, None))
     rep = NamedSharding(mesh, P(None, None))
@@ -176,7 +174,7 @@ def st1_disparity_sharded(
     right_bgr: np.ndarray,
     mesh: Mesh,
     config: SegmentTreeConfig = SegmentTreeConfig(),
-    plan: Optional[CodedPlan] = None,
+    plan: Optional[StridePlan] = None,
 ) -> np.ndarray:
     """ST-1 with per-band trees executed across the ``space`` axis → (H, W) u8.
 
@@ -270,10 +268,10 @@ def st2_disparity_sharded(
     hb = h // n_space
 
     # Host: per-view σ₁ band trees (images only — built before phase A).
-    plan_l = converged_coded_batch(
+    plan_l = converged_stride_batch(
         _band_trees(left_bgr, n_space, config), config.sigma_one
     )
-    plan_r = converged_coded_batch(
+    plan_r = converged_stride_batch(
         _band_trees(right_bgr, n_space, config), config.sigma_one
     )
 
@@ -297,7 +295,7 @@ def st2_disparity_sharded(
         )
         for t in range(n_space)
     ]
-    plan_f = converged_coded_batch(
+    plan_f = converged_stride_batch(
         _band_trees(
             left_bgr, n_space, config, weights_per_band=weights,
             weight_scale=255.0,
