@@ -71,6 +71,7 @@ def main():
             }
         )
     )
+    return fps
 
 
 if __name__ == "__main__":

@@ -1,0 +1,144 @@
+"""Diff this framework's ST outputs against the REAL reference executable.
+
+The north-star accuracy clause is "within 2% bad-2.0 of the reference
+disparities" — not of Middlebury GT. This harness closes that loop:
+
+1. compiles the reference STMatching sources (`/root/reference/STMatching`,
+   CPU C++: `StereoDisparity.cpp`, `SegmentTree.cpp`, `StereoHelper.cpp`,
+   `Toolkit.cpp`, `ctmf.c`, `main.cpp:40-72`) against the minimal cv::Mat
+   shim in ``tools/refshim`` (PGM/PPM image I/O; no OpenCV),
+2. runs ref ST-1/ST-2 on the GT scenes at the CLI defaults
+   (maxLevel 60, scale 4, sigma 0.1 — `main.cpp:49-67`),
+3. runs this repo's st1/st2 with the same parameters,
+4. reports bad-2.0 of ours vs the reference's own output (unscaled
+   disparity units: both outputs are ÷scale'd before comparison; pixels
+   the reference's ×4 u8 scaling saturates are compared saturated, since
+   both sides saturate identically).
+
+Usage: python tools/ref_parity.py [scene ...]   (default: all 6 GT scenes)
+Writes a JSON summary line per scene and a final aggregate.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF = "/root/reference/STMatching"
+SCENES = ["Art", "Books", "Dolls", "Laundry", "Moebius", "Reindeer"]
+
+
+def build_ref_binary(build_dir: str) -> str:
+    exe = os.path.join(build_dir, "stmatching_ref")
+    srcs = [
+        f"{REF}/main.cpp", f"{REF}/StereoDisparity.cpp",
+        f"{REF}/StereoHelper.cpp", f"{REF}/SegmentTree.cpp",
+        f"{REF}/Toolkit.cpp",
+    ]
+    stamp = max(os.path.getmtime(s) for s in srcs + [
+        f"{REF}/ctmf.c",
+        os.path.join(REPO, "tools/refshim/opencv2/core/core.hpp"),
+    ])
+    if os.path.exists(exe) and os.path.getmtime(exe) >= stamp:
+        return exe
+    ctmf_o = os.path.join(build_dir, "ctmf.o")
+    subprocess.run(
+        ["gcc", "-O2", "-c", f"{REF}/ctmf.c", "-o", ctmf_o], check=True
+    )
+    subprocess.run(
+        ["g++", "-O2", "-std=c++14", "-I", os.path.join(REPO, "tools/refshim"),
+         "-o", exe] + srcs + [ctmf_o],
+        check=True,
+    )
+    return exe
+
+
+def run_reference(exe, left_png, right_png, method: int, workdir: str,
+                  max_level=60, scale=4, sigma=0.1) -> np.ndarray:
+    from PIL import Image
+
+    lp = os.path.join(workdir, "l.ppm")
+    rp = os.path.join(workdir, "r.ppm")
+    op = os.path.join(workdir, f"d{method}.pgm")
+    Image.open(left_png).convert("RGB").save(lp)
+    Image.open(right_png).convert("RGB").save(rp)
+    subprocess.run(
+        [exe, lp, rp, op, str(max_level), str(scale), str(sigma),
+         str(method)],
+        check=True, timeout=600,
+    )
+    return np.array(Image.open(op))
+
+
+def main(scenes=None):
+    import jax
+
+    if os.environ.get("GSM_PARITY_CPU", "1") == "1":
+        jax.config.update("jax_platforms", "cpu")
+
+    from gpu_stereo_matching_tpu.core.config import SegmentTreeConfig
+    from gpu_stereo_matching_tpu.io.middlebury import load_middlebury_scene
+    from gpu_stereo_matching_tpu.models.segment_tree import (
+        st1_disparity,
+        st2_disparity,
+    )
+
+    scenes = scenes or SCENES
+    cfg = SegmentTreeConfig()  # max_disp_levels=60 scale=4 sigma=0.1 defaults
+    assert (cfg.max_disp_levels, cfg.disparity_scale, cfg.sigma) == (
+        60, 4, 0.1,
+    ), "defaults drifted from the reference CLI defaults (main.cpp:49-67)"
+
+    build_dir = os.path.join(tempfile.gettempdir(), "gsm_refbuild")
+    os.makedirs(build_dir, exist_ok=True)
+    exe = build_ref_binary(build_dir)
+
+    results = {}
+    for name in scenes:
+        root = "/root/reference/Images"
+        sc = load_middlebury_scene(root, name)
+        lp = os.path.join(root, name, "view1.png")
+        rp = os.path.join(root, name, "view5.png")
+        row = {}
+        for method, ours_fn in ((0, st1_disparity), (1, st2_disparity)):
+            ref = run_reference(exe, lp, rp, method, build_dir)
+            ours = ours_fn(sc.left_bgr, sc.right_bgr, cfg)
+            # Unscale (both sides used the same saturating x4).
+            ref_d = ref.astype(np.float64) / cfg.disparity_scale
+            our_d = ours.astype(np.float64) / cfg.disparity_scale
+            diff = np.abs(ref_d - our_d)
+            bad2 = float((diff > 2.0).mean() * 100)
+            exact = float((ref == ours).mean() * 100)
+            key = "st1" if method == 0 else "st2"
+            row[key] = {
+                "bad2_vs_ref_pct": round(bad2, 3),
+                "exact_pixel_pct": round(exact, 2),
+                "mean_abs_diff": round(float(diff.mean()), 4),
+            }
+        results[name] = row
+        print(json.dumps({"scene": name, **row}))
+
+    agg = {
+        k: round(
+            float(np.mean([results[s][k]["bad2_vs_ref_pct"]
+                           for s in scenes])), 3,
+        )
+        for k in ("st1", "st2")
+    }
+    print(json.dumps({
+        "metric": "bad2_vs_reference_output_pct_mean",
+        **agg,
+        "north_star_budget_pct": 2.0,
+        "pass": bool(max(agg.values()) <= 2.0),
+    }))
+    return results
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:] or None)
