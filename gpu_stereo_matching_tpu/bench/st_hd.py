@@ -1,0 +1,112 @@
+"""ST-1 at HD (1280×720): proof the tree path scales in pixels.
+
+Config-3 covered the D axis (128 disparities); this bench covers the pixel
+axis — N = 921,600 nodes per tree, 5.8× the Middlebury scenes every other
+ST number uses. The input is the Art pair bilinearly upscaled to 720p
+(jittered per frame so every tree differs, as in st_streaming): synthetic
+content, but the tree build, plan emission, transport, and filter see the
+real HD workload shape.
+
+Run: ``python -m gpu_stereo_matching_tpu.bench.st_hd``
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def _fence(x):
+    import jax.numpy as jnp
+
+    return int(np.asarray(jnp.sum(x.astype(jnp.int32))))
+
+
+def run_st_hd(group_size: int = 4, reps: int = 3) -> dict:
+    import jax
+    from PIL import Image
+
+    from gpu_stereo_matching_tpu.core.config import SegmentTreeConfig
+    from gpu_stereo_matching_tpu.io.middlebury import load_middlebury_scene
+    from gpu_stereo_matching_tpu.models.segment_tree import (
+        _st1_device_group_jit,
+    )
+    from gpu_stereo_matching_tpu.tree.builder import (
+        build_segment_tree,
+        color_edge_weights,
+    )
+    from gpu_stereo_matching_tpu.tree.stride import (
+        StridePlan,
+        converged_stride_batch,
+    )
+    from gpu_stereo_matching_tpu.utils.cache import enable_jit_cache
+
+    enable_jit_cache()
+    cfg = SegmentTreeConfig()
+    scene = load_middlebury_scene("/root/reference/Images", "Art")
+
+    def up(img):
+        return np.asarray(
+            Image.fromarray(img).resize((1280, 720), Image.BILINEAR)
+        )
+
+    left, right = up(scene.left_bgr), up(scene.right_bgr)
+    h, w = left.shape[:2]
+    rng = np.random.default_rng(0)
+
+    def jitter(img):
+        noise = rng.integers(-6, 7, img.shape, dtype=np.int16)
+        return np.clip(img.astype(np.int16) + noise, 0, 255).astype(np.uint8)
+
+    frames = [(jitter(left), jitter(right)) for _ in range(group_size)]
+
+    out = {"shape": f"{h}x{w}x{cfg.max_disp_levels}d", "group": group_size}
+
+    t0 = time.perf_counter()
+    trees = [
+        build_segment_tree(color_edge_weights(f[0]), h, w) for f in frames
+    ]
+    out["tree_build_ms_per_frame"] = round(
+        (time.perf_counter() - t0) / group_size * 1e3, 1
+    )
+    t0 = time.perf_counter()
+    stacked = converged_stride_batch(trees, cfg.sigma)
+    out["plan_emit_ms_per_frame"] = round(
+        (time.perf_counter() - t0) / group_size * 1e3, 1
+    )
+    out["total_pos"] = stacked.total_pos
+    out["pad_over_n"] = round(stacked.total_pos / (h * w), 3)
+    out["plan_mb_per_frame"] = round(
+        (np.asarray(stacked.ints).nbytes + np.asarray(stacked.codes).nbytes)
+        / group_size / 1e6, 2,
+    )
+
+    plans = StridePlan(
+        stacked.num_nodes, stacked.total_pos, stacked.buckets, stacked.n_real,
+        jax.device_put(stacked.ints), jax.device_put(stacked.codes),
+        jax.device_put(np.asarray(stacked.table)),
+    )
+    jl = jax.device_put(np.stack([f[0] for f in frames]))
+    jr = jax.device_put(np.stack([f[1] for f in frames]))
+    _fence(jl[0, :1, :1])
+
+    t0 = time.perf_counter()
+    res = _st1_device_group_jit(jl, jr, plans, cfg.max_disp_levels)
+    _fence(res)
+    out["compile_plus_first_s"] = round(time.perf_counter() - t0, 1)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        res = _st1_device_group_jit(jl, jr, plans, cfg.max_disp_levels)
+        _fence(res)
+        best = min(best, time.perf_counter() - t0)
+    out["device_ms_per_frame"] = round(best / group_size * 1e3, 2)
+    out["device_fps_per_chip"] = round(group_size / best, 2)
+    print(json.dumps(out))
+    return out
+
+
+if __name__ == "__main__":
+    run_st_hd()
