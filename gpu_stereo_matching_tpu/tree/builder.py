@@ -107,6 +107,10 @@ def _lib() -> ctypes.CDLL:
             ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32, i32p, i32p,
             i32p, u8p,
         ]
+        lib.gsm_sb_ctx_new.restype = ctypes.c_void_p
+        lib.gsm_sb_ctx_new.argtypes = [ctypes.c_int32, i32p, i32p, i32p]
+        lib.gsm_pack24.restype = ctypes.c_int32
+        lib.gsm_pack24.argtypes = [i32p, ctypes.c_int64, u8p]
         _LIB_CACHE = lib
     return _LIB_CACHE
 

@@ -962,3 +962,56 @@ int32_t gsm_sb_plan_fill(GsmHpdPlan* p, int32_t rounds_padded, int32_t n_exp,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Lean context for the stride-bucket emitter: only heavy / light_depth /
+// head_of (one O(N) BFS pass) — gsm_hpd_plan_new's full node sort and
+// per-round tables are plan-order machinery the sb layout never reads.
+GsmHpdPlan* gsm_sb_ctx_new(int32_t n, const int32_t* parent,
+                           const int32_t* subtree_size,
+                           const int32_t* bfs_order) {
+  auto* p = new GsmHpdPlan();
+  p->n = n;
+  p->parent.assign(parent, parent + n);
+  p->heavy.assign(n, -1);
+  std::vector<int32_t> best_size(n, -1);
+  for (int32_t v = 1; v < n; ++v) {
+    int32_t par = parent[v];
+    if (subtree_size[v] > best_size[par] ||
+        (subtree_size[v] == best_size[par] && v < p->heavy[par])) {
+      best_size[par] = subtree_size[v];
+      p->heavy[par] = v;
+    }
+  }
+  p->light_depth.assign(n, 0);
+  p->head_of.assign(n, 0);
+  for (int32_t i = 1; i < n; ++i) {
+    int32_t v = bfs_order[i];
+    int32_t par = parent[v];
+    bool is_heavy = p->heavy[par] == v;
+    p->light_depth[v] = p->light_depth[par] + (is_heavy ? 0 : 1);
+    p->head_of[v] = is_heavy ? p->head_of[par] : v;
+  }
+  int32_t n_rounds = 0;
+  for (int32_t v = 0; v < n; ++v)
+    n_rounds = std::max(n_rounds, p->light_depth[v] + 1);
+  p->n_rounds = n_rounds;
+  return p;
+}
+
+// 24-bit little-endian planar packing: dst is (3, len) u8 — row 0 the low
+// bytes — matching tree/hpd.py pack_ints24. Returns -1 if any value is
+// negative or >= 2^24 (would wrap silently).
+int32_t gsm_pack24(const int32_t* src, int64_t len, uint8_t* dst) {
+  for (int64_t i = 0; i < len; ++i) {
+    const int32_t v = src[i];
+    if (v < 0 || v >= (1 << 24)) return -1;
+    dst[i] = (uint8_t)(v & 0xFF);
+    dst[len + i] = (uint8_t)((v >> 8) & 0xFF);
+    dst[2 * len + i] = (uint8_t)((v >> 16) & 0xFF);
+  }
+  return 0;
+}
+
+}  // extern "C"

@@ -260,18 +260,22 @@ def build_stride_plan(
     n = tree.num_nodes
     if native:
         ints, codes, buckets, n_real, total = _emit_native(tree)
-    else:
-        light_depth, head_of, depth_in_path = _decompose(tree)
-        heads = np.flatnonzero(head_of == np.arange(n))
-        path_len = np.bincount(head_of, minlength=n)[heads]
-        head_round = light_depth[heads]
-        buckets, n_real, exp_of = _layout_from_heads(n, head_round, path_len)
-        round_off, bucket_off, head_off, hp, total = _layout_offsets(buckets)
-        ints, codes = _emit_numpy(
-            tree, buckets, round_off, bucket_off, head_off, hp, total,
-            light_depth, head_of, depth_in_path,
-            heads, path_len, head_round, exp_of,
+        return StridePlan(
+            num_nodes=n, total_pos=total, buckets=buckets, n_real=n_real,
+            ints=_pack24_native(ints), codes=codes,
+            table=weight_lut(sigma),
         )
+    light_depth, head_of, depth_in_path = _decompose(tree)
+    heads = np.flatnonzero(head_of == np.arange(n))
+    path_len = np.bincount(head_of, minlength=n)[heads]
+    head_round = light_depth[heads]
+    buckets, n_real, exp_of = _layout_from_heads(n, head_round, path_len)
+    round_off, bucket_off, head_off, hp, total = _layout_offsets(buckets)
+    ints, codes = _emit_numpy(
+        tree, buckets, round_off, bucket_off, head_off, hp, total,
+        light_depth, head_of, depth_in_path,
+        heads, path_len, head_round, exp_of,
+    )
     return StridePlan(
         num_nodes=n, total_pos=total, buckets=buckets, n_real=n_real,
         ints=pack_ints24(ints), codes=codes, table=weight_lut(sigma),
@@ -376,6 +380,29 @@ def _emit_numpy(
     return ints, codes
 
 
+def _pack24_native(ints: np.ndarray) -> np.ndarray:
+    """C++ 24-bit packing, bit-identical to :func:`tree.hpd.pack_ints24`
+    (~7× faster — the NumPy stack/shift chain costs ~14 ms at Middlebury
+    plan sizes, a real slice of the streaming host budget)."""
+    import ctypes
+
+    from gpu_stereo_matching_tpu.tree.builder import _lib
+
+    lib = _lib()
+    src = np.ascontiguousarray(ints, np.int32)
+    out = np.empty((3, src.size), np.uint8)
+    rc = lib.gsm_pack24(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(src.size),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    if rc != 0:
+        raise ValueError(
+            "plan index stream outside the 24-bit packing range"
+        )
+    return out
+
+
 def _emit_native(tree: SegmentTree):
     """One-shot C++ emission (see ``gsm_sb_plan_*`` in segment_tree.cpp).
 
@@ -389,7 +416,6 @@ def _emit_native(tree: SegmentTree):
 
     lib = _lib()
     n = tree.num_nodes
-    weights = tree.parent_weights(0.1).astype(np.float32)  # layout-unused
     i32p = ctypes.POINTER(ctypes.c_int32)
     u8p = ctypes.POINTER(ctypes.c_uint8)
 
@@ -397,10 +423,8 @@ def _emit_native(tree: SegmentTree):
         return np.ascontiguousarray(a, np.int32).ctypes.data_as(i32p)
 
     handle = ctypes.c_void_p(
-        lib.gsm_hpd_plan_new(
-            n, p32(tree.parent), p32(tree.level_of),
-            p32(tree.subtree_size), p32(tree.bfs_order),
-            weights.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        lib.gsm_sb_ctx_new(
+            n, p32(tree.parent), p32(tree.subtree_size), p32(tree.bfs_order)
         )
     )
     try:
