@@ -253,7 +253,8 @@ def _kernel(
 
 def _packed_unroll(num_disparities: int) -> int:
     """Pairs per loop iteration: independent sum chains give the scheduler
-    instruction-level parallelism (~8% measured at 4 on v5e)."""
+    instruction-level parallelism (~8% measured at 4 on v5e; 8 measured
+    no better than 4 through the tunnel's ±3% variance, round 4)."""
     pairs = num_disparities // 2
     for k in (4, 2):
         if pairs % k == 0:
