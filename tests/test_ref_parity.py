@@ -52,3 +52,17 @@ def test_st1_matches_reference_binary_on_art():
     assert bad2 <= 2.0, f"bad2 vs reference output = {bad2:.2f}%"
     # And the agreement should be near-bitwise, not just within budget.
     assert (ref == ours).mean() > 0.97
+
+
+@pytest.mark.slow
+def test_bm_matches_reference_cpu_matcher():
+    """Interior disparities bit-match the reference's own CPU matcher;
+    every interior mismatch is its documented dm=-256 threshold quirk."""
+    import ref_parity_bm
+
+    try:
+        out = ref_parity_bm.run_parity()
+    except (subprocess.CalledProcessError, FileNotFoundError) as e:
+        pytest.skip(f"cannot build reference BM binary here: {e}")
+    assert out["unexplained"] == 0
+    assert out["interior_exact_pct"] > 99.5

@@ -74,6 +74,11 @@ class Mat {
 
   Mat() = default;
   Mat(int r, int c, int type) { create(r, c, type); }
+  // Wrap an external buffer without copying (OpenCV semantics; the
+  // caller keeps it alive — the reference leaks such buffers, which
+  // keeps them valid for the program's lifetime).
+  Mat(int r, int c, int type, void* external)
+      : rows(r), cols(c), data((uchar*)external), type_(type) {}
   Mat(Size s, int type) { create(s.height, s.width, type); }
   Mat(Size s, int type, const Scalar& fill) {
     create(s.height, s.width, type);
@@ -152,9 +157,24 @@ class Mat {
 
   size_t bytes() const { return total() * channels() * elemSize1(); }
 
+  template <typename T>
+  T* ptr(int row) {
+    return (T*)(data) + (size_t)row * step1();
+  }
+  template <typename T>
+  const T* ptr(int row) const {
+    return (const T*)(data) + (size_t)row * step1();
+  }
+
  private:
   int type_ = 0;
   std::shared_ptr<std::vector<uchar>> buf_;
+};
+
+struct Point3i {
+  int x = 0, y = 0, z = 0;
+  Point3i() = default;
+  Point3i(int x_, int y_, int z_) : x(x_), y(y_), z(z_) {}
 };
 
 // Typed element-access views (share the Mat's buffer).
