@@ -14,6 +14,7 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from gpu_stereo_matching_tpu.core.config import BlockMatchingConfig, SegmentTreeConfig
@@ -63,8 +64,9 @@ def evaluate_scene(
             bm_config = dataclasses.replace(
                 bm_config, lr_consistency=True, median_radius=3
             )
-        left = gray_rec601_bgr(jnp.asarray(scene.left_bgr))
-        right = gray_rec601_bgr(jnp.asarray(scene.right_bgr))
+        gray = jax.jit(gray_rec601_bgr)  # eager ops are per-op round trips
+        left = gray(jnp.asarray(scene.left_bgr))
+        right = gray(jnp.asarray(scene.right_bgr))
         disp = np.asarray(block_matching_pipeline(left, right, bm_config))
         disp_scale = 1.0
     elif pipeline in ("st1", "st2"):

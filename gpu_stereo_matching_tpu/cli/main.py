@@ -292,6 +292,13 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    # Persistent XLA compile cache: without it every CLI invocation pays
+    # full recompiles (minutes per pipeline through the remote-compile
+    # tunnel; the middlebury bm sweep measured 252 s/scene cold vs
+    # seconds warm).
+    from gpu_stereo_matching_tpu.utils.cache import enable_jit_cache
+
+    enable_jit_cache()
     return args.fn(args)
 
 
