@@ -111,6 +111,8 @@ def run_config3(
     plan_b1 = StridePlan(
         plan_b.num_nodes, plan_b.total_pos, plan_b.buckets, plan_b.n_real,
         plan_b.ints[0], plan_b.codes[0], plan_b.table,
+        res=None if plan_b.res is None else plan_b.res[0],
+        width=plan_b.width,
     )
     bl, br = jax.device_put(band_l), jax.device_put(band_r)
     best_b = _best(

@@ -87,6 +87,7 @@ def run_st_hd(group_size: int = 4, reps: int = 3) -> dict:
         stacked.num_nodes, stacked.total_pos, stacked.buckets, stacked.n_real,
         jax.device_put(stacked.ints), jax.device_put(stacked.codes),
         jax.device_put(np.asarray(stacked.table)),
+        res=jax.device_put(stacked.res), width=stacked.width,
     )
     jl = jax.device_put(np.stack([f[0] for f in frames]))
     jr = jax.device_put(np.stack([f[1] for f in frames]))

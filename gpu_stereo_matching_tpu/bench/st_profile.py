@@ -80,6 +80,9 @@ def run_profile(
     stacked = stack_stride_plans(plans)
     out["plan_ints_mb"] = stacked.ints.nbytes / 1e6
     out["plan_codes_mb"] = stacked.codes.nbytes / 1e6
+    out["plan_res_mb"] = (
+        0.0 if stacked.res is None else stacked.res.nbytes / 1e6
+    )
 
     lefts = np.stack([f[0] for f in frames])
     rights = np.stack([f[1] for f in frames])
@@ -91,6 +94,7 @@ def run_profile(
             stacked.n_real,
             jax.device_put(stacked.ints), jax.device_put(stacked.codes),
             jax.device_put(stacked.table),
+            res=jax.device_put(stacked.res), width=stacked.width,
         )
 
     # Uploads, fenced.
@@ -134,6 +138,8 @@ def run_profile(
         jax.device_put(np.asarray(stacked.ints[0])),
         jax.device_put(np.asarray(stacked.codes[0])),
         jax.device_put(np.asarray(stacked.table)),
+        res=jax.device_put(np.asarray(stacked.res[0])),
+        width=stacked.width,
     )
     r1 = _st1_device_jit(jl[0], jr[0], p1, cfg.max_disp_levels)
     _fence(r1)

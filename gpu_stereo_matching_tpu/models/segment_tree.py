@@ -127,6 +127,8 @@ def _st1_device_group(left_b, right_b, plans, num_disp):
             plan_g = StridePlan(
                 plans.num_nodes, plans.total_pos, plans.buckets,
                 plans.n_real, plans.ints[g], plans.codes[g], plans.table,
+                res=None if plans.res is None else plans.res[g],
+                width=plans.width,
             )
         elif isinstance(plans, CodedPlan):
             plan_g = CodedPlan(

@@ -104,9 +104,12 @@ def _plan_key(plan: StridePlan):
     return plan.layout_key
 
 
-def _local_plan(key, ints, codes, table) -> StridePlan:
-    n, total, buckets, n_real = key
-    return StridePlan(n, total, buckets, n_real, ints[0], codes[0], table)
+def _local_plan(key, ints, codes, table, res) -> StridePlan:
+    n, total, buckets, n_real, width, no_res = key
+    return StridePlan(
+        n, total, buckets, n_real, ints[0], codes[0], table,
+        res=None if no_res else res[0], width=width,
+    )
 
 
 @functools.lru_cache(maxsize=8)
@@ -126,8 +129,8 @@ def _sharded_st1_step(mesh: Mesh, num_disp: int, plan_key):
     )
     from gpu_stereo_matching_tpu.ops.cost import color_gradient_cost_volume
 
-    def local_step(left, right, ints, codes, table):
-        plan = _local_plan(plan_key, ints, codes, table)
+    def local_step(left, right, ints, codes, table, res):
+        plan = _local_plan(plan_key, ints, codes, table, res)
         cost = color_gradient_cost_volume(left[0], right[0], num_disp)
         d, hb, w = cost.shape
         disp = _filter_wta_median(_to_nodes(cost), plan, (hb, w))
@@ -142,6 +145,7 @@ def _sharded_st1_step(mesh: Mesh, num_disp: int, plan_key):
             P("space", None, None),
             P("space", None, None),
             P(None, None),
+            P("space", None),
         ),
         out_specs=P("space", None, None),
         check_vma=False,
@@ -162,10 +166,12 @@ def _put_plan(mesh: Mesh, plan: StridePlan):
     plan_sh = NamedSharding(mesh, P("space", None, None))
     codes_sh = NamedSharding(mesh, P("space", None, None))
     rep = NamedSharding(mesh, P(None, None))
+    res_sh = NamedSharding(mesh, P("space", None))
     return (
         jax.device_put(plan.ints, plan_sh),
         jax.device_put(plan.codes, codes_sh),
         jax.device_put(np.asarray(plan.table), rep),
+        jax.device_put(plan.res, res_sh),
     )
 
 
@@ -216,10 +222,10 @@ def _sharded_st2_phase_a(
     )
     from gpu_stereo_matching_tpu.ops.postprocess import lr_consistency_mask
 
-    def local_step(left, right, ints_l, codes_l, tab_l, ints_r, codes_r,
-                   tab_r):
-        plan_l = _local_plan(key_l, ints_l, codes_l, tab_l)
-        plan_r = _local_plan(key_r, ints_r, codes_r, tab_r)
+    def local_step(left, right, ints_l, codes_l, tab_l, res_l, ints_r,
+                   codes_r, tab_r, res_r):
+        plan_l = _local_plan(key_l, ints_l, codes_l, tab_l, res_l)
+        plan_r = _local_plan(key_r, ints_r, codes_r, tab_r, res_r)
         cost_l = color_gradient_cost_volume(left[0], right[0], num_disp)
         cost_r = right_cost_from_left(cost_l)
         d, hb, w = cost_l.shape
@@ -237,7 +243,9 @@ def _sharded_st2_phase_a(
             P("space", None, None, None),
             P("space", None, None, None),
             P("space", None, None), P("space", None, None), P(None, None),
+            P("space", None),
             P("space", None, None), P("space", None, None), P(None, None),
+            P("space", None),
         ),
         out_specs=(P("space", None, None), P("space", None, None)),
         check_vma=False,

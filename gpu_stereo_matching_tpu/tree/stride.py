@@ -152,10 +152,24 @@ class StridePlan:
     ints: jnp.ndarray   # (3, L) u8 (24-bit packed)
     codes: jnp.ndarray  # (2, total) u8
     table: jnp.ndarray  # (256, 2) f32
+    # Compressed-perm format (``res is not None``): ``ints`` carries
+    # ``heads(H_all) ‖ inv_perm(N) ‖ per-round streams`` and ``res`` the
+    # 2-bit heavy-chain residual codes (4 per byte) from which the filter
+    # reconstructs the perm in-graph — row j of a bucket column is row
+    # j−1's heavy child, a grid neighbor, so perm[j]−perm[j−1]−W has only
+    # four possible values {0, 1−W, −1−W, −2W} (exact; ~4× less perm
+    # transport). ``width`` is the image W the residuals are coded
+    # against. ``res=None`` is the uncompressed layout (perm shipped
+    # verbatim), kept for tooling.
+    res: "jnp.ndarray | None" = None   # ((R+3)//4,) u8, R = total − H_all
+    width: int = 0
 
     @property
     def layout_key(self):
-        return (self.num_nodes, self.total_pos, self.buckets, self.n_real)
+        return (
+            self.num_nodes, self.total_pos, self.buckets, self.n_real,
+            self.width, self.res is None,
+        )
 
     @staticmethod
     def from_tree(
@@ -168,6 +182,8 @@ class StridePlan:
                 plan.num_nodes, plan.total_pos, plan.buckets, plan.n_real,
                 jnp.asarray(plan.ints), jnp.asarray(plan.codes),
                 jnp.asarray(plan.table),
+                None if plan.res is None else jnp.asarray(plan.res),
+                plan.width,
             )
         return plan
 
@@ -175,11 +191,12 @@ class StridePlan:
 jax.tree_util.register_pytree_node(
     StridePlan,
     lambda p: (
-        (p.ints, p.codes, p.table),
-        (p.num_nodes, p.total_pos, p.buckets, p.n_real),
+        (p.ints, p.codes, p.table, p.res),
+        (p.num_nodes, p.total_pos, p.buckets, p.n_real, p.width),
     ),
     lambda aux, ch: StridePlan(
-        aux[0], aux[1], aux[2], aux[3], ch[0], ch[1], ch[2]
+        aux[0], aux[1], aux[2], aux[3], ch[0], ch[1], ch[2],
+        res=ch[3], width=aux[4],
     ),
 )
 
@@ -260,25 +277,28 @@ def build_stride_plan(
     n = tree.num_nodes
     if native:
         ints, codes, buckets, n_real, total = _emit_native(tree)
-        return StridePlan(
-            num_nodes=n, total_pos=total, buckets=buckets, n_real=n_real,
-            ints=_pack24_native(ints), codes=codes,
-            table=weight_lut(sigma),
+    else:
+        light_depth, head_of, depth_in_path = _decompose(tree)
+        heads = np.flatnonzero(head_of == np.arange(n))
+        path_len = np.bincount(head_of, minlength=n)[heads]
+        head_round = light_depth[heads]
+        buckets, n_real, exp_of = _layout_from_heads(n, head_round, path_len)
+        round_off, bucket_off, head_off, hp, total = _layout_offsets(buckets)
+        ints, codes = _emit_numpy(
+            tree, buckets, round_off, bucket_off, head_off, hp, total,
+            light_depth, head_of, depth_in_path,
+            heads, path_len, head_round, exp_of,
         )
-    light_depth, head_of, depth_in_path = _decompose(tree)
-    heads = np.flatnonzero(head_of == np.arange(n))
-    path_len = np.bincount(head_of, minlength=n)[heads]
-    head_round = light_depth[heads]
-    buckets, n_real, exp_of = _layout_from_heads(n, head_round, path_len)
-    round_off, bucket_off, head_off, hp, total = _layout_offsets(buckets)
-    ints, codes = _emit_numpy(
-        tree, buckets, round_off, bucket_off, head_off, hp, total,
-        light_depth, head_of, depth_in_path,
-        heads, path_len, head_round, exp_of,
-    )
+    # Compress the perm section: heads + 2-bit heavy-chain residuals (the
+    # converter is emitter-agnostic, so C++ and NumPy emissions stay
+    # bitwise-comparable end to end).
+    head_vals, res = _compress_perm(ints[:total], buckets, tree.width, n)
+    ints_c = np.concatenate([head_vals, ints[total:]]).astype(np.int32)
+    pack = _pack24_native if native else pack_ints24
     return StridePlan(
         num_nodes=n, total_pos=total, buckets=buckets, n_real=n_real,
-        ints=pack_ints24(ints), codes=codes, table=weight_lut(sigma),
+        ints=pack(ints_c), codes=codes, table=weight_lut(sigma),
+        res=res, width=tree.width,
     )
 
 
@@ -464,8 +484,108 @@ def _emit_native(tree: SegmentTree):
     return ints, codes, buckets, n_real, total
 
 
+def _compress_perm(perm: np.ndarray, buckets, width: int, n: int):
+    """Host side: perm(total) → (heads(H_all), 2-bit residual codes).
+
+    Within a bucket column, row j's node is row j−1's heavy child — a
+    4-connected grid neighbor — so the step ``perm[j] − perm[j−1]`` is one
+    of {+W, +1, −1, −W}; pad rows (value n) get code 0 and are masked by
+    the decoder via the codes zero-weight flag. Exact by construction.
+    """
+    heads_parts, res_parts = [], []
+    off = 0
+    for row in buckets:
+        for e, p in row:
+            s = 1 << e
+            blk = perm[off : off + s * p].reshape(s, p)
+            heads_parts.append(blk[0])
+            if s > 1:
+                d = blk[1:].astype(np.int64) - blk[:-1].astype(np.int64)
+                code = np.zeros((s - 1, p), np.uint8)
+                code[d == 1] = 1
+                code[d == -1] = 2
+                code[d == -width] = 3
+                real = blk[1:] != n
+                ok = (
+                    (d == width) | (d == 1) | (d == -1) | (d == -width)
+                )
+                if not bool(np.all(ok | ~real)):
+                    raise AssertionError(
+                        "non-neighbor heavy step in perm stream"
+                    )
+                code[~real] = 0
+                res_parts.append(code.reshape(-1))
+            off += s * p
+    heads = np.concatenate(heads_parts) if heads_parts else np.zeros(0)
+    res = (
+        np.concatenate(res_parts) if res_parts else np.zeros(0, np.uint8)
+    )
+    pad = (-len(res)) % 4
+    res = np.concatenate([res, np.zeros(pad, np.uint8)])
+    packed = (
+        res[0::4] | (res[1::4] << 2) | (res[2::4] << 4) | (res[3::4] << 6)
+    ).astype(np.uint8)
+    return heads.astype(np.int64), packed
+
+
+def _decode_perm(heads, res_packed, codes_zero, plan: StridePlan):
+    """In-graph inverse of :func:`_compress_perm` → (total,) i32 perm."""
+    n, w = plan.num_nodes, plan.width
+    b = res_packed.astype(jnp.int32)
+    codes4 = jnp.stack(
+        [b & 3, (b >> 2) & 3, (b >> 4) & 3, (b >> 6) & 3], axis=-1
+    ).reshape(-1)
+    # code -> step, branch-free: {0:+W, 1:+1, 2:-1, 3:-W}
+    steps_all = jnp.where(
+        codes4 == 0, w,
+        jnp.where(codes4 == 1, 1, jnp.where(codes4 == 2, -1, -w)),
+    )
+    parts = []
+    off = 0       # position offset (for the pad mask)
+    hoff = 0      # heads offset
+    roff = 0      # residual offset
+    for row in plan.buckets:
+        for e, p in row:
+            s = 1 << e
+            head = heads[hoff : hoff + p]
+            if s == 1:
+                parts.append(head)
+            else:
+                st = steps_all[roff : roff + (s - 1) * p].reshape(s - 1, p)
+                col = head[None, :] + jnp.cumsum(st, axis=0)
+                blk = jnp.concatenate([head[None, :], col], axis=0)
+                pad = codes_zero[off : off + s * p].reshape(s, p)
+                # rows >= 1: zero-weight <=> padding (the root is a head)
+                blk = jnp.where(
+                    pad & (jax.lax.broadcasted_iota(
+                        jnp.int32, (s, p), 0) > 0),
+                    n, blk,
+                )
+                parts.append(blk.reshape(-1))
+                roff += (s - 1) * p
+            hoff += p
+            off += s * p
+    return jnp.concatenate(parts)
+
+
 def _unpack_sb_ints(ints, plan: StridePlan):
     total, n = plan.total_pos, plan.num_nodes
+    if plan.res is not None:
+        h_all = sum(p for row in plan.buckets for _e, p in row)
+        heads = ints[:h_all]
+        inv_perm = ints[h_all : h_all + n]
+        off = h_all + n
+        head_streams = []
+        for row in plan.buckets:
+            h_t = sum(p for _e, p in row)
+            if h_t == 0:
+                head_streams.append((None, None))
+                continue
+            head_streams.append(
+                (ints[off : off + h_t], ints[off + h_t : off + 2 * h_t])
+            )
+            off += 2 * h_t
+        return heads, inv_perm, head_streams
     perm = ints[:total]
     inv_perm = ints[total : total + n]
     off = total + n
@@ -523,7 +643,7 @@ def tree_filter_nodes_sb(
     ints = plan.ints
     if ints.ndim == 2 and ints.dtype == jnp.uint8:
         ints = _unpack_ints24(ints)
-    perm, inv_perm, head_streams = _unpack_sb_ints(ints, plan)
+    first, inv_perm, head_streams = _unpack_sb_ints(ints, plan)
 
     vals = _exact_lut(plan.codes[0], plan.table)
     flags = plan.codes[1].astype(jnp.int32)
@@ -532,6 +652,10 @@ def tree_filter_nodes_sb(
     omw2 = jnp.where(zero, jnp.ones_like(vals[:, 1]), vals[:, 1])
     cnt = (flags >> 1) & 3
 
+    if plan.res is not None:
+        perm = _decode_perm(first, plan.res, zero, plan)
+    else:
+        perm = first
     cost_ext = jnp.concatenate([cost_nodes, jnp.zeros((1, d), dt)], axis=0)
     cost_plan = cost_ext[perm]
 
@@ -644,12 +768,18 @@ def stack_stride_plans(plans) -> StridePlan:
     if all(isinstance(p.ints, np.ndarray) for p in plans):
         ints = np.stack([p.ints for p in plans])
         codes = np.stack([p.codes for p in plans])
+        res = (
+            None if p0.res is None else np.stack([p.res for p in plans])
+        )
     else:
         ints = jnp.stack([p.ints for p in plans])
         codes = jnp.stack([p.codes for p in plans])
+        res = (
+            None if p0.res is None else jnp.stack([p.res for p in plans])
+        )
     return StridePlan(
         p0.num_nodes, p0.total_pos, p0.buckets, p0.n_real,
-        ints, codes, p0.table,
+        ints, codes, p0.table, res=res, width=p0.width,
     )
 
 

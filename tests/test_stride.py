@@ -110,6 +110,7 @@ class TestStrideFilter:
             stacked.num_nodes, stacked.total_pos, stacked.buckets,
             stacked.n_real, jnp.asarray(stacked.ints),
             jnp.asarray(stacked.codes), jnp.asarray(stacked.table),
+            res=jnp.asarray(stacked.res), width=stacked.width,
         )
         batched = np.asarray(
             jnp.stack([
@@ -118,6 +119,7 @@ class TestStrideFilter:
                     StridePlan(
                         dev.num_nodes, dev.total_pos, dev.buckets,
                         dev.n_real, dev.ints[i], dev.codes[i], dev.table,
+                        res=dev.res[i], width=dev.width,
                     ),
                 )
                 for i in range(3)

@@ -73,6 +73,7 @@ def main(group_size=8, reps=4):
                 stacked.n_real,
                 jax.device_put(stacked.ints), jax.device_put(stacked.codes),
                 jax.device_put(np.asarray(stacked.table)),
+                res=jax.device_put(stacked.res), width=stacked.width,
             )
         else:
             from gpu_stereo_matching_tpu.tree.hpd import CodedPlan
