@@ -141,6 +141,39 @@ class TestStrideFilter:
         with pytest.raises(ValueError):
             stack_stride_plans([p1, p2])
 
+    def test_perm_compression_roundtrip_bitwise(self, rng):
+        """2-bit heavy-chain residuals decode to the raw perm exactly."""
+        from gpu_stereo_matching_tpu.tree.stride import (
+            _compress_perm,
+            _decode_perm,
+            _emit_native,
+            _pack24_native,
+            weight_lut,
+        )
+
+        for hw in [(7, 9), (16, 21), (8, 1), (1, 8), (23, 17)]:
+            h, w = hw
+            tree = _tree(rng, h, w)
+            n = tree.num_nodes
+            ints_raw, codes, buckets, n_real, total = _emit_native(tree)
+            perm_raw = ints_raw[:total]
+            heads, res = _compress_perm(perm_raw, buckets, w, n)
+            plan = StridePlan(
+                n, total, buckets, n_real,
+                jnp.asarray(_pack24_native(np.concatenate(
+                    [heads, ints_raw[total:]]).astype(np.int32))),
+                jnp.asarray(codes), jnp.asarray(weight_lut(0.1)),
+                res=jnp.asarray(res), width=w,
+            )
+            zero = (jnp.asarray(codes[1]).astype(jnp.int32) & 1) != 0
+            dec = np.asarray(
+                _decode_perm(
+                    jnp.asarray(heads.astype(np.int32)),
+                    jnp.asarray(res), zero, plan,
+                )
+            )
+            np.testing.assert_array_equal(dec, perm_raw)
+
     def test_light_counts_and_flags(self, rng):
         """Codes carry light counts <= 3 and zero-weight only on pad/root."""
         tree = _tree(rng, 12, 14)
