@@ -106,14 +106,7 @@ def run_config3(
     pipe_b = SegmentTreeBatchPipeline(cfg, group_size=1)
     plan_b = pipe_b._build_plan(band_l)
     plan_b = jax.device_put(stack_stride_plans([plan_b]))
-    from gpu_stereo_matching_tpu.tree.stride import StridePlan
-
-    plan_b1 = StridePlan(
-        plan_b.num_nodes, plan_b.total_pos, plan_b.buckets, plan_b.n_real,
-        plan_b.ints[0], plan_b.codes[0], plan_b.table,
-        res=None if plan_b.res is None else plan_b.res[0],
-        width=plan_b.width,
-    )
+    plan_b1 = plan_b.frame(0)
     bl, br = jax.device_put(band_l), jax.device_put(band_r)
     best_b = _best(
         lambda: _fence(_st1_device_jit(bl, br, plan_b1, num_disp))

@@ -24,7 +24,9 @@ def _fence(x):
     return int(np.asarray(jnp.sum(x.astype(jnp.int32))))
 
 
-def run_st_hd(group_size: int = 4, reps: int = 3) -> dict:
+def run_st_hd(
+    group_size: int = 4, reps: int = 3, bands_list=(4, 8), workers: int = 4
+) -> dict:
     import jax
     from PIL import Image
 
@@ -79,16 +81,10 @@ def run_st_hd(group_size: int = 4, reps: int = 3) -> dict:
     out["total_pos"] = stacked.total_pos
     out["pad_over_n"] = round(stacked.total_pos / (h * w), 3)
     out["plan_mb_per_frame"] = round(
-        (np.asarray(stacked.ints).nbytes + np.asarray(stacked.codes).nbytes)
-        / group_size / 1e6, 2,
+        stacked.transport_nbytes / group_size / 1e6, 2
     )
 
-    plans = StridePlan(
-        stacked.num_nodes, stacked.total_pos, stacked.buckets, stacked.n_real,
-        jax.device_put(stacked.ints), jax.device_put(stacked.codes),
-        jax.device_put(np.asarray(stacked.table)),
-        res=jax.device_put(stacked.res), width=stacked.width,
-    )
+    plans = stacked.to_device()
     jl = jax.device_put(np.stack([f[0] for f in frames]))
     jr = jax.device_put(np.stack([f[1] for f in frames]))
     _fence(jl[0, :1, :1])
@@ -105,7 +101,64 @@ def run_st_hd(group_size: int = 4, reps: int = 3) -> dict:
         best = min(best, time.perf_counter() - t0)
     out["device_ms_per_frame"] = round(best / group_size * 1e3, 2)
     out["device_fps_per_chip"] = round(group_size / best, 2)
+    global_out = np.asarray(res)
     print(json.dumps(out))
+
+    # ---- Round 5: per-band trees (the HD host-solvency lever) ----------
+    # B independent band trees per frame: the C++ build/emit parallelizes
+    # across threads AND each tree's light-depth round count drops (the
+    # super-linear device term at N≈1M). Accuracy vs the global tree is
+    # reported as bad-2.0 of the banded output against the global output.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from gpu_stereo_matching_tpu.models.segment_tree import (
+        _st1_device_group_banded_jit,
+    )
+    from gpu_stereo_matching_tpu.models.segment_tree_stream import (
+        SegmentTreeBatchPipeline,
+    )
+
+    for bands in bands_list:
+        ob = {"shape": out["shape"], "group": group_size, "bands": bands}
+        pipe = SegmentTreeBatchPipeline(
+            cfg, group_size=group_size, workers=workers, bands=bands
+        )
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            # warm (layout convergence + C++ lib load)
+            pipe._host_build_group(frames, pool)
+            t0 = time.perf_counter()
+            _l, _r, stacked_b, _n = pipe._host_build_group(frames, pool)
+            ob["host_ms_per_frame"] = round(
+                (time.perf_counter() - t0) / group_size * 1e3, 1
+            )
+        ob["plan_mb_per_frame"] = round(
+            stacked_b.transport_nbytes / group_size / 1e6, 2
+        )
+        pb = stacked_b.to_device()
+        _fence(pb.ints[0, :1])
+        resb = _st1_device_group_banded_jit(
+            jl, jr, pb, cfg.max_disp_levels, bands
+        )
+        _fence(resb)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            resb = _st1_device_group_banded_jit(
+                jl, jr, pb, cfg.max_disp_levels, bands
+            )
+            _fence(resb)
+            best = min(best, time.perf_counter() - t0)
+        ob["device_ms_per_frame"] = round(best / group_size * 1e3, 2)
+        ob["device_fps_per_chip"] = round(group_size / best, 2)
+        diff = np.abs(
+            np.asarray(resb).astype(np.int32) - global_out.astype(np.int32)
+        )
+        ob["bad2_vs_global_pct"] = round(float((diff > 2).mean() * 100), 3)
+        ob["host_solvent"] = bool(
+            ob["host_ms_per_frame"] <= ob["device_ms_per_frame"]
+        )
+        print(json.dumps(ob))
+        out[f"bands{bands}"] = ob
     return out
 
 

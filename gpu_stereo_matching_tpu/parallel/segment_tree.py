@@ -104,11 +104,28 @@ def _plan_key(plan: StridePlan):
     return plan.layout_key
 
 
-def _local_plan(key, ints, codes, table, res) -> StridePlan:
-    n, total, buckets, n_real, width, no_res = key
+def _local_plan(key, ints, codes, table, res, flg) -> StridePlan:
+    n, total, buckets, n_real, width, no_res, no_flg = key
     return StridePlan(
         n, total, buckets, n_real, ints[0], codes[0], table,
         res=None if no_res else res[0], width=width,
+        flg=None if no_flg else flg[0],
+    )
+
+
+def _plan_in_specs(key):
+    """shard_map in_specs for one plan's (ints, codes, table, res, flg).
+
+    Lean plans ship (B, total) codes (dist only); legacy (B, 2, total) —
+    the spec rank must match, hence derivation from the layout key."""
+    _n, _t, _b, _nr, _w, _no_res, no_flg = key
+    codes_spec = P("space", None) if not no_flg else P("space", None, None)
+    return (
+        P("space", None, None),  # ints (B, 3, L) u8
+        codes_spec,
+        P(None, None),           # table, replicated
+        P("space", None),        # res
+        P("space", None),        # flg
     )
 
 
@@ -129,8 +146,8 @@ def _sharded_st1_step(mesh: Mesh, num_disp: int, plan_key):
     )
     from gpu_stereo_matching_tpu.ops.cost import color_gradient_cost_volume
 
-    def local_step(left, right, ints, codes, table, res):
-        plan = _local_plan(plan_key, ints, codes, table, res)
+    def local_step(left, right, ints, codes, table, res, flg):
+        plan = _local_plan(plan_key, ints, codes, table, res, flg)
         cost = color_gradient_cost_volume(left[0], right[0], num_disp)
         d, hb, w = cost.shape
         disp = _filter_wta_median(_to_nodes(cost), plan, (hb, w))
@@ -142,11 +159,7 @@ def _sharded_st1_step(mesh: Mesh, num_disp: int, plan_key):
         in_specs=(
             P("space", None, None, None),
             P("space", None, None, None),
-            P("space", None, None),
-            P("space", None, None),
-            P(None, None),
-            P("space", None),
-        ),
+        ) + _plan_in_specs(plan_key),
         out_specs=P("space", None, None),
         check_vma=False,
     )
@@ -167,11 +180,23 @@ def _put_plan(mesh: Mesh, plan: StridePlan):
     codes_sh = NamedSharding(mesh, P("space", None, None))
     rep = NamedSharding(mesh, P(None, None))
     res_sh = NamedSharding(mesh, P("space", None))
+    # res=None / flg=None (layouts without those streams, e.g. caller-
+    # supplied legacy plans): ship a zero-length u8 array so the step
+    # signature stays fixed; _local_plan's no_res/no_flg branches drop it.
+    b = np.asarray(plan.ints).shape[0]
+    res = np.zeros((b, 0), np.uint8) if plan.res is None else plan.res
+    flg = np.zeros((b, 0), np.uint8) if plan.flg is None else plan.flg
+    codes_sh2 = (
+        NamedSharding(mesh, P("space", None))
+        if np.asarray(plan.codes).ndim == 2
+        else codes_sh
+    )
     return (
         jax.device_put(plan.ints, plan_sh),
-        jax.device_put(plan.codes, codes_sh),
+        jax.device_put(plan.codes, codes_sh2),
         jax.device_put(np.asarray(plan.table), rep),
-        jax.device_put(plan.res, res_sh),
+        jax.device_put(res, res_sh),
+        jax.device_put(flg, res_sh),
     )
 
 
@@ -222,10 +247,10 @@ def _sharded_st2_phase_a(
     )
     from gpu_stereo_matching_tpu.ops.postprocess import lr_consistency_mask
 
-    def local_step(left, right, ints_l, codes_l, tab_l, res_l, ints_r,
-                   codes_r, tab_r, res_r):
-        plan_l = _local_plan(key_l, ints_l, codes_l, tab_l, res_l)
-        plan_r = _local_plan(key_r, ints_r, codes_r, tab_r, res_r)
+    def local_step(left, right, ints_l, codes_l, tab_l, res_l, flg_l,
+                   ints_r, codes_r, tab_r, res_r, flg_r):
+        plan_l = _local_plan(key_l, ints_l, codes_l, tab_l, res_l, flg_l)
+        plan_r = _local_plan(key_r, ints_r, codes_r, tab_r, res_r, flg_r)
         cost_l = color_gradient_cost_volume(left[0], right[0], num_disp)
         cost_r = right_cost_from_left(cost_l)
         d, hb, w = cost_l.shape
@@ -242,11 +267,7 @@ def _sharded_st2_phase_a(
         in_specs=(
             P("space", None, None, None),
             P("space", None, None, None),
-            P("space", None, None), P("space", None, None), P(None, None),
-            P("space", None),
-            P("space", None, None), P("space", None, None), P(None, None),
-            P("space", None),
-        ),
+        ) + _plan_in_specs(key_l) + _plan_in_specs(key_r),
         out_specs=(P("space", None, None), P("space", None, None)),
         check_vma=False,
     )

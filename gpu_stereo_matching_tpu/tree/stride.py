@@ -43,12 +43,21 @@ Per-frame gather rows on Art drop from ~1.29M (coded plan) to ~0.66M:
 perm in (≈total), one destination-sized light pull per round (≈total),
 2·H head-side rows (H ≈ 40k paths), and inv_perm out (N).
 
-Plan payload: ``ints`` = perm ‖ inv_perm ‖ per-round [parent_pos ‖
-head_perm], 24-bit-packed u8 triples; ``codes`` = (2, total) u8
-[parent-distance code, flags]; ``table`` = the 256-entry exact weight LUT
-(:func:`tree.hpd.weight_lut`). Flags: bit0 = force-zero weight (root and
-padding), bits1-2 = light-child count (≤ 3: a non-root grid node has ≤ 3
-children of which one is heavy; the root ≤ 4, one heavy).
+Plan payload (the **lean** transport format, round 5, the production
+default): ``ints`` = bucket-head node ids ‖ per-round [parent_pos ‖
+head_perm], 24-bit-packed u8 triples; ``codes`` = (total,) u8
+parent-distance codes; ``flg`` = nibble-packed 3-bit flags (two positions
+per byte); ``res`` = 2-bit heavy-chain perm residuals; ``table`` = the
+256-entry exact weight LUT (:func:`tree.hpd.weight_lut`). Flags: bit0 =
+force-zero weight (root and padding), bits1-2 = light-child count (≤ 3:
+a non-root grid node has ≤ 3 children of which one is heavy; the root
+≤ 4, one heavy). The perm ships as residuals (decoded in-graph) and
+**inv_perm ships not at all** — it is recomputed on device from the
+decoded perm (argsort-based by default; the values are exact integers
+either way, so the filter output is bit-identical to the shipped-inv
+variant). ``lean=False`` keeps the round-4 format (verbatim codes
+(2, total), inv_perm in ``ints``) for A/B tooling and device-resident
+plans that never pay transport.
 
 Static layout (bucket path-slot caps, real round count) is converged
 through the same persisted registry as the HPD plans so all frames of a
@@ -58,6 +67,7 @@ video share one compiled executable.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Tuple
 
 import jax
@@ -76,6 +86,18 @@ from gpu_stereo_matching_tpu.tree.hpd import (
     pack_ints24,
     weight_lut,
 )
+
+
+# In-graph perm inversion method for lean plans ("argsort" | "scatter");
+# traced statically, so changing it needs a fresh process. Round-5 v5e
+# A/B (tools/exp_inv_perm.py, 8-frame Art group): full-program
+# 14.52 ms/frame scatter vs 14.67 argsort vs 13.73 shipping inv_perm —
+# i.e. the in-graph inversion costs ~0.8 ms/frame and pays for itself
+# whenever plan transport is slower than ~0.9 GB/s; `lean=False` keeps
+# the shipped-inv layout for device-resident plans. NOTE: a drop-mode
+# scatter; do NOT vmap lean-plan filters (vmapped scatters are
+# catastrophic on this stack — CLAUDE.md), the group paths unroll.
+_INV_METHOD = os.environ.get("GSM_SB_INV", "scatter")
 
 
 def _pad_count(p: int) -> int:
@@ -150,53 +172,86 @@ class StridePlan:
     buckets: Tuple[Tuple[Tuple[int, int], ...], ...]
     n_real: int
     ints: jnp.ndarray   # (3, L) u8 (24-bit packed)
-    codes: jnp.ndarray  # (2, total) u8
+    codes: jnp.ndarray  # lean: (total,) u8 dist codes; legacy: (2, total)
     table: jnp.ndarray  # (256, 2) f32
-    # Compressed-perm format (``res is not None``): ``ints`` carries
-    # ``heads(H_all) ‖ inv_perm(N) ‖ per-round streams`` and ``res`` the
+    # Compressed-perm format (``res is not None``): ``res`` carries the
     # 2-bit heavy-chain residual codes (4 per byte) from which the filter
     # reconstructs the perm in-graph — row j of a bucket column is row
     # j−1's heavy child, a grid neighbor, so perm[j]−perm[j−1]−W has only
     # four possible values {0, 1−W, −1−W, −2W} (exact; ~4× less perm
     # transport). ``width`` is the image W the residuals are coded
     # against. ``res=None`` is the uncompressed layout (perm shipped
-    # verbatim), kept for tooling.
+    # verbatim), kept for tooling/device-resident plans.
     res: "jnp.ndarray | None" = None   # ((R+3)//4,) u8, R = total − H_all
     width: int = 0
+    # Lean transport format (``flg is not None``, requires ``res``):
+    # ``codes`` is (total,) dist codes only, ``flg`` is the 3-bit flags
+    # stream nibble-packed two-per-byte, and ``ints`` has NO inv_perm
+    # section (``heads ‖ per-round streams``) — the filter inverts the
+    # decoded perm in-graph instead (exact integers; bit-identical
+    # output). ``flg=None`` is the legacy layout with flags in codes[1]
+    # and inv_perm shipped.
+    flg: "jnp.ndarray | None" = None   # ((total+1)//2,) u8
 
     @property
     def layout_key(self):
         return (
             self.num_nodes, self.total_pos, self.buckets, self.n_real,
-            self.width, self.res is None,
+            self.width, self.res is None, self.flg is None,
         )
 
     @staticmethod
     def from_tree(
         tree: SegmentTree, sigma: float, native: bool = True,
-        device: bool = True,
+        device: bool = True, lean: bool = True,
     ) -> "StridePlan":
-        plan = build_stride_plan(tree, sigma, native=native)
+        plan = build_stride_plan(tree, sigma, native=native, lean=lean)
         if device:
-            plan = StridePlan(
-                plan.num_nodes, plan.total_pos, plan.buckets, plan.n_real,
-                jnp.asarray(plan.ints), jnp.asarray(plan.codes),
-                jnp.asarray(plan.table),
-                None if plan.res is None else jnp.asarray(plan.res),
-                plan.width,
-            )
+            plan = plan.to_device()
         return plan
+
+    def to_device(self) -> "StridePlan":
+        """Upload every plan array (jnp.asarray) preserving the layout."""
+        return StridePlan(
+            self.num_nodes, self.total_pos, self.buckets, self.n_real,
+            jnp.asarray(self.ints), jnp.asarray(self.codes),
+            jnp.asarray(self.table),
+            res=None if self.res is None else jnp.asarray(self.res),
+            width=self.width,
+            flg=None if self.flg is None else jnp.asarray(self.flg),
+        )
+
+    def frame(self, g: int) -> "StridePlan":
+        """Per-frame view of a stacked plan (leading batch axis on the
+        per-frame arrays; ``table`` is shared)."""
+        return StridePlan(
+            self.num_nodes, self.total_pos, self.buckets, self.n_real,
+            self.ints[g], self.codes[g], self.table,
+            res=None if self.res is None else self.res[g],
+            width=self.width,
+            flg=None if self.flg is None else self.flg[g],
+        )
+
+    @property
+    def transport_nbytes(self) -> int:
+        """Bytes shipped host→device per plan (all per-frame streams)."""
+        n = np.asarray(self.ints).nbytes + np.asarray(self.codes).nbytes
+        if self.res is not None:
+            n += np.asarray(self.res).nbytes
+        if self.flg is not None:
+            n += np.asarray(self.flg).nbytes
+        return n
 
 
 jax.tree_util.register_pytree_node(
     StridePlan,
     lambda p: (
-        (p.ints, p.codes, p.table, p.res),
+        (p.ints, p.codes, p.table, p.res, p.flg),
         (p.num_nodes, p.total_pos, p.buckets, p.n_real, p.width),
     ),
     lambda aux, ch: StridePlan(
         aux[0], aux[1], aux[2], aux[3], ch[0], ch[1], ch[2],
-        res=ch[3], width=aux[4],
+        res=ch[3], width=aux[4], flg=ch[4],
     ),
 )
 
@@ -266,13 +321,15 @@ def _layout_offsets(buckets):
 
 
 def build_stride_plan(
-    tree: SegmentTree, sigma: float, native: bool = True
+    tree: SegmentTree, sigma: float, native: bool = True, lean: bool = True
 ) -> StridePlan:
     """Emit the stride-bucket plan (host NumPy arrays).
 
     ``native=True`` runs the C++ emitter (``gsm_sb_plan_*``, the streaming
     host hot path); ``native=False`` is the bit-exact vectorized-NumPy
-    oracle. Both share the registry-converged layout.
+    oracle. Both share the registry-converged layout. ``lean=True`` (the
+    production default) emits the round-5 transport format: no inv_perm
+    section, dist-only codes, nibble-packed flags (see the class doc).
     """
     n = tree.num_nodes
     if native:
@@ -293,13 +350,35 @@ def build_stride_plan(
     # converter is emitter-agnostic, so C++ and NumPy emissions stay
     # bitwise-comparable end to end).
     head_vals, res = _compress_perm(ints[:total], buckets, tree.width, n)
-    ints_c = np.concatenate([head_vals, ints[total:]]).astype(np.int32)
     pack = _pack24_native if native else pack_ints24
+    if lean:
+        # Drop the inv_perm(N) section (recomputed in-graph from the
+        # decoded perm) and nibble-pack the 3-bit flags two-per-byte.
+        ints_c = np.concatenate(
+            [head_vals, ints[total + n :]]
+        ).astype(np.int32)
+        return StridePlan(
+            num_nodes=n, total_pos=total, buckets=buckets, n_real=n_real,
+            ints=pack(ints_c), codes=np.ascontiguousarray(codes[0]),
+            table=weight_lut(sigma), res=res, width=tree.width,
+            flg=_pack_flags(codes[1]),
+        )
+    ints_c = np.concatenate([head_vals, ints[total:]]).astype(np.int32)
     return StridePlan(
         num_nodes=n, total_pos=total, buckets=buckets, n_real=n_real,
         ints=pack(ints_c), codes=codes, table=weight_lut(sigma),
         res=res, width=tree.width,
     )
+
+
+def _pack_flags(flags: np.ndarray) -> np.ndarray:
+    """Nibble-pack the (total,) 3-bit flags stream, two per byte."""
+    f = np.asarray(flags, np.uint8)
+    if f.max(initial=0) > 0xF:
+        raise AssertionError("flags exceed one nibble")
+    pad = (-len(f)) % 2
+    f = np.concatenate([f, np.zeros(pad, np.uint8)])
+    return (f[0::2] | (f[1::2] << 4)).astype(np.uint8)
 
 
 def _emit_numpy(
@@ -573,8 +652,13 @@ def _unpack_sb_ints(ints, plan: StridePlan):
     if plan.res is not None:
         h_all = sum(p for row in plan.buckets for _e, p in row)
         heads = ints[:h_all]
-        inv_perm = ints[h_all : h_all + n]
-        off = h_all + n
+        if plan.flg is not None:
+            # Lean layout: no inv_perm section (recomputed in-graph).
+            inv_perm = None
+            off = h_all
+        else:
+            inv_perm = ints[h_all : h_all + n]
+            off = h_all + n
         head_streams = []
         for row in plan.buckets:
             h_t = sum(p for _e, p in row)
@@ -600,6 +684,22 @@ def _unpack_sb_ints(ints, plan: StridePlan):
         )
         off += 2 * h_t
     return perm, inv_perm, head_streams
+
+
+def _invert_perm(perm: jnp.ndarray, n: int) -> jnp.ndarray:
+    """In-graph inverse of the (total,) position→node map → (N,) i32.
+
+    Real perm entries are a permutation of 0..N−1; pads carry value N.
+    ``argsort`` (default): pads sort past every real value, so the first
+    N entries of the stable argsort ARE inv_perm. ``scatter``: one
+    drop-mode scatter of position ids (pads out of bounds → dropped).
+    Both produce identical exact integers; the default is chosen by the
+    round-5 on-hardware A/B (tools/exp_inv_perm.py).
+    """
+    if _INV_METHOD == "scatter":
+        iota = jnp.arange(perm.shape[0], dtype=jnp.int32)
+        return jnp.zeros((n,), jnp.int32).at[perm].set(iota, mode="drop")
+    return jnp.argsort(perm)[:n].astype(jnp.int32)
 
 
 def _scan_affine(a, b, steps: int, reverse: bool):
@@ -645,8 +745,15 @@ def tree_filter_nodes_sb(
         ints = _unpack_ints24(ints)
     first, inv_perm, head_streams = _unpack_sb_ints(ints, plan)
 
-    vals = _exact_lut(plan.codes[0], plan.table)
-    flags = plan.codes[1].astype(jnp.int32)
+    if plan.flg is not None:
+        # Lean layout: (total,) dist codes + nibble-packed flags.
+        dist_codes = plan.codes
+        fb = plan.flg.astype(jnp.int32)
+        flags = jnp.stack([fb & 0xF, fb >> 4], axis=-1).reshape(-1)[:total]
+    else:
+        dist_codes = plan.codes[0]
+        flags = plan.codes[1].astype(jnp.int32)
+    vals = _exact_lut(dist_codes, plan.table)
     zero = (flags & 1) != 0
     w = jnp.where(zero, jnp.zeros_like(vals[:, 0]), vals[:, 0])
     omw2 = jnp.where(zero, jnp.ones_like(vals[:, 1]), vals[:, 1])
@@ -656,6 +763,8 @@ def tree_filter_nodes_sb(
         perm = _decode_perm(first, plan.res, zero, plan)
     else:
         perm = first
+    if inv_perm is None:
+        inv_perm = _invert_perm(perm, plan.num_nodes)
     cost_ext = jnp.concatenate([cost_nodes, jnp.zeros((1, d), dt)], axis=0)
     cost_plan = cost_ext[perm]
 
@@ -765,21 +874,14 @@ def stack_stride_plans(plans) -> StridePlan:
             )
         if not np.array_equal(np.asarray(p.table), np.asarray(p0.table)):
             raise ValueError("stride plans must share one weight table (σ)")
-    if all(isinstance(p.ints, np.ndarray) for p in plans):
-        ints = np.stack([p.ints for p in plans])
-        codes = np.stack([p.codes for p in plans])
-        res = (
-            None if p0.res is None else np.stack([p.res for p in plans])
-        )
-    else:
-        ints = jnp.stack([p.ints for p in plans])
-        codes = jnp.stack([p.codes for p in plans])
-        res = (
-            None if p0.res is None else jnp.stack([p.res for p in plans])
-        )
+    xp = np if all(isinstance(p.ints, np.ndarray) for p in plans) else jnp
+    ints = xp.stack([p.ints for p in plans])
+    codes = xp.stack([p.codes for p in plans])
+    res = None if p0.res is None else xp.stack([p.res for p in plans])
+    flg = None if p0.flg is None else xp.stack([p.flg for p in plans])
     return StridePlan(
         p0.num_nodes, p0.total_pos, p0.buckets, p0.n_real,
-        ints, codes, p0.table, res=res, width=p0.width,
+        ints, codes, p0.table, res=res, width=p0.width, flg=flg,
     )
 
 

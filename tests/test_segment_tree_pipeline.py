@@ -208,6 +208,65 @@ def test_batch_pipeline_empty(rng):
     assert list(SegmentTreeBatchPipeline(cfg).process(iter([]))) == []
 
 
+def test_banded_batch_pipeline_matches_tiled(rng):
+    """Round-5 per-band-tree streaming (bands>1, the HD host-solvency
+    path) equals st1_disparity_tiled bitwise per frame."""
+    from gpu_stereo_matching_tpu.models.segment_tree_stream import (
+        SegmentTreeBatchPipeline,
+    )
+    from gpu_stereo_matching_tpu.models.segment_tree_tiled import (
+        st1_disparity_tiled,
+    )
+
+    cfg = SegmentTreeConfig(max_disp_levels=5, tau=90.0, min_size_seg=5)
+    frames = [
+        (
+            rng.integers(0, 256, size=(12, 14, 3), dtype=np.uint8),
+            rng.integers(0, 256, size=(12, 14, 3), dtype=np.uint8),
+        )
+        for _ in range(3)
+    ]
+    pipe = SegmentTreeBatchPipeline(cfg, group_size=2, workers=2, bands=2)
+    got = list(pipe.process(iter(frames)))
+    assert len(got) == 3
+    for (l, r), d in zip(frames, got):
+        want = st1_disparity_tiled(l, r, 2, cfg)
+        np.testing.assert_array_equal(d, want)
+
+
+def test_st2_batch_pipeline_matches_per_pair(rng):
+    """Round-5 batched streaming ST-2 (two grouped dispatches + host
+    rebuild) equals per-pair st2_disparity bitwise, incl. a short final
+    group."""
+    from gpu_stereo_matching_tpu.models.segment_tree_stream import (
+        SegmentTreeST2BatchPipeline,
+    )
+
+    cfg = SegmentTreeConfig(max_disp_levels=5, tau=90.0, min_size_seg=5)
+    frames = [
+        (
+            rng.integers(0, 256, size=(10, 14, 3), dtype=np.uint8),
+            rng.integers(0, 256, size=(10, 14, 3), dtype=np.uint8),
+        )
+        for _ in range(5)
+    ]
+    pipe = SegmentTreeST2BatchPipeline(cfg, group_size=4, workers=2)
+    got = list(pipe.process(iter(frames)))
+    assert len(got) == 5
+    for (l, r), d in zip(frames, got):
+        want = st2_disparity(l, r, cfg)
+        np.testing.assert_array_equal(d, want)
+
+
+def test_st2_batch_pipeline_empty(rng):
+    from gpu_stereo_matching_tpu.models.segment_tree_stream import (
+        SegmentTreeST2BatchPipeline,
+    )
+
+    cfg = SegmentTreeConfig(max_disp_levels=4, tau=90.0, min_size_seg=5)
+    assert list(SegmentTreeST2BatchPipeline(cfg).process(iter([]))) == []
+
+
 def _art_crop(y0=120, y1=184, x0=140, x1=268):
     """A real Art crop (textured region) — near-ties are rare on natural
     images, so the end-to-end agreement gate can be tight (VERDICT r1:

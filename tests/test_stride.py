@@ -106,22 +106,10 @@ class TestStrideFilter:
         trees = [_tree(rng, h, w) for _ in range(3)]
         costs = rng.random((3, h * w, 5)).astype(np.float32)
         stacked = converged_stride_batch(trees, 0.1)
-        dev = StridePlan(
-            stacked.num_nodes, stacked.total_pos, stacked.buckets,
-            stacked.n_real, jnp.asarray(stacked.ints),
-            jnp.asarray(stacked.codes), jnp.asarray(stacked.table),
-            res=jnp.asarray(stacked.res), width=stacked.width,
-        )
+        dev = stacked.to_device()
         batched = np.asarray(
             jnp.stack([
-                tree_filter_nodes_sb(
-                    jnp.asarray(costs[i]),
-                    StridePlan(
-                        dev.num_nodes, dev.total_pos, dev.buckets,
-                        dev.n_real, dev.ints[i], dev.codes[i], dev.table,
-                        res=dev.res[i], width=dev.width,
-                    ),
-                )
+                tree_filter_nodes_sb(jnp.asarray(costs[i]), dev.frame(i))
                 for i in range(3)
             ])
         )
@@ -174,10 +162,45 @@ class TestStrideFilter:
             )
             np.testing.assert_array_equal(dec, perm_raw)
 
+    @pytest.mark.parametrize("inv_method", ["argsort", "scatter"])
+    def test_lean_transport_bitwise(self, rng, inv_method, monkeypatch):
+        """Round-5 lean format (no inv_perm shipped, nibble-packed flags)
+        filters bit-identically to the legacy format, for both in-graph
+        inversion methods."""
+        import gpu_stereo_matching_tpu.tree.stride as stride_mod
+
+        monkeypatch.setattr(stride_mod, "_INV_METHOD", inv_method)
+        for hw in [(7, 9), (16, 21), (1, 8), (8, 1), (23, 17)]:
+            tree = _tree(rng, *hw)
+            cost = rng.random((hw[0] * hw[1], 5)).astype(np.float32)
+            legacy = StridePlan.from_tree(tree, 0.1, lean=False)
+            lean = StridePlan.from_tree(tree, 0.1, lean=True)
+            assert lean.flg is not None and lean.res is not None
+            assert lean.transport_nbytes < legacy.transport_nbytes
+            want = np.asarray(
+                tree_filter_nodes_sb(jnp.asarray(cost), legacy)
+            )
+            got = np.asarray(tree_filter_nodes_sb(jnp.asarray(cost), lean))
+            np.testing.assert_array_equal(got, want)
+
+    def test_lean_flag_nibble_roundtrip(self, rng):
+        """Packed flags decode to the legacy codes[1] stream exactly."""
+        tree = _tree(rng, 13, 17)
+        legacy = StridePlan.from_tree(tree, 0.1, device=False, lean=False)
+        lean = StridePlan.from_tree(tree, 0.1, device=False, lean=True)
+        fb = np.asarray(lean.flg).astype(np.int64)
+        unpacked = np.stack([fb & 0xF, fb >> 4], axis=-1).reshape(-1)
+        np.testing.assert_array_equal(
+            unpacked[: lean.total_pos], np.asarray(legacy.codes[1])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(lean.codes), np.asarray(legacy.codes[0])
+        )
+
     def test_light_counts_and_flags(self, rng):
         """Codes carry light counts <= 3 and zero-weight only on pad/root."""
         tree = _tree(rng, 12, 14)
-        plan = StridePlan.from_tree(tree, 0.1, device=False)
+        plan = StridePlan.from_tree(tree, 0.1, device=False, lean=False)
         flags = np.asarray(plan.codes[1]).astype(int)
         cnt = (flags >> 1) & 3
         n_paths_nonroot = cnt.sum()

@@ -68,13 +68,7 @@ def main(group_size=8, reps=4):
             out["stride_host_ms_per_frame"] = (
                 (time.perf_counter() - t0) / group_size * 1e3
             )
-            plans = StridePlan(
-                stacked.num_nodes, stacked.total_pos, stacked.buckets,
-                stacked.n_real,
-                jax.device_put(stacked.ints), jax.device_put(stacked.codes),
-                jax.device_put(np.asarray(stacked.table)),
-                res=jax.device_put(stacked.res), width=stacked.width,
-            )
+            plans = stacked.to_device()
         else:
             from gpu_stereo_matching_tpu.tree.hpd import CodedPlan
 
@@ -96,7 +90,10 @@ def main(group_size=8, reps=4):
                 stacked.scan_steps, stacked.n_real,
             )
         out[f"{mode}_plan_mb"] = (
-            np.asarray(stacked.ints).nbytes + np.asarray(stacked.codes).nbytes
+            stacked.transport_nbytes
+            if mode == "stride"
+            else np.asarray(stacked.ints).nbytes
+            + np.asarray(stacked.codes).nbytes
         ) / 1e6 / group_size
         t0 = time.perf_counter()
         res = _st1_device_group_jit(jl, jr, plans, cfg.max_disp_levels)

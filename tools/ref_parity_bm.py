@@ -33,6 +33,24 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REF_BM = "/root/reference/BlockMatching"
 
 
+def _write_backslash_redirects(build_dir: str) -> None:
+    """Satisfy the reference's Windows-style ``#include <opencv2\\core\\…>``
+    (``BlockMatching.h:4``, ``Caller.h:4``) without checking backslash-named
+    files into the repo (git on Windows cannot create them). On Linux, gcc
+    treats the backslash as part of the filename, so we generate one-line
+    redirect headers with literal-backslash names in the throwaway build
+    dir at compile time."""
+    for bs_name, target in (
+        ("opencv2\\core\\core.hpp", "opencv2/core/core.hpp"),
+        ("opencv2\\highgui\\highgui.hpp", "opencv2/highgui/highgui.hpp"),
+    ):
+        path = os.path.join(build_dir, bs_name)
+        line = f'#include "{target}"\n'
+        if not (os.path.exists(path) and open(path).read() == line):
+            with open(path, "w") as f:
+                f.write(line)
+
+
 def build_bm_binary(build_dir: str) -> str:
     exe = os.path.join(build_dir, "bm_ref")
     srcs = [
@@ -44,8 +62,9 @@ def build_bm_binary(build_dir: str) -> str:
     ])
     if os.path.exists(exe) and os.path.getmtime(exe) >= stamp:
         return exe
+    _write_backslash_redirects(build_dir)
     subprocess.run(
-        ["g++", "-O2", "-std=c++14",
+        ["g++", "-O2", "-std=c++14", "-I", build_dir,
          "-I", os.path.join(REPO, "tools/refshim"), "-I", REF_BM,
          "-o", exe] + srcs,
         check=True,
