@@ -128,6 +128,71 @@ def _packed_pair_supported(num_disparities: int, radius: int) -> bool:
     )
 
 
+def _banded_vertical_matrix(tile_h: int, halo_rows: int, k: int):
+    """(tile_h, halo_rows) bf16 0/1 band: row i sums input rows [i, i+k).
+
+    Built through a 32-bit f32 select and converted at the end — a direct
+    bf16 select on the i1 compare mask hits an un-relayout-able
+    (8,128)→(16,128) mask layout in Mosaic v5e (same class as the known
+    mixed 16/32-bit select constraint, CLAUDE.md)."""
+    ri = jax.lax.broadcasted_iota(jnp.int32, (tile_h, halo_rows), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (tile_h, halo_rows), 1)
+    band = (ci >= ri) & (ci < ri + k)
+    return jnp.where(band, jnp.float32(1), jnp.float32(0)).astype(
+        jnp.bfloat16
+    )
+
+
+def _packed_pair_body_mxu(
+    lf, lf_m1, col_t, padfix, shifted, d_lo, *,
+    radius, tile_h, wp, true_width, invalid_cost,
+):
+    """MXU variant of :func:`_packed_pair_body` (round-5 experiment,
+    VERDICT r4 weak #3): the VERTICAL sliding sum becomes a banded bf16
+    matmul — ``vsum = B (tile_h × halo) @ diff (halo × W)`` with f32
+    accumulation — so the k-row column sums ride the (otherwise idle)
+    MXU while the VPU keeps the horizontal packed path. Exact: diffs
+    ≤ 255 are bf16-representable, the 0/1 band is exact, and f32
+    accumulates integers ≤ 255·k ≪ 2²⁴ without rounding; the f32→i32
+    casts are exact integer conversions. The two halves matmul
+    separately (a packed int operand would exceed f32's exact range) and
+    repack for the shared horizontal sum. A/B vs the VPU body:
+    tools/exp_mxu_sad.py; see RESULTS.md for the measured verdict.
+    """
+    r = radius
+    k = 2 * r + 1
+    halo_rows = lf.shape[0]
+    inv = invalid_cost * k
+    inv2 = jnp.int32(inv) | (jnp.int32(inv) << 16)
+    # i32 → f32 → bf16 (two-step: Mosaic v5e lacks some direct narrow
+    # integer↔16-bit-float conversions; f32 is the safe waypoint).
+    diff_lo = (
+        jnp.abs(lf - shifted).astype(jnp.float32).astype(jnp.bfloat16)
+    )
+    diff_hi = (
+        jnp.abs(lf_m1 - shifted).astype(jnp.float32).astype(jnp.bfloat16)
+    )
+    bv = _banded_vertical_matrix(tile_h, halo_rows, k)
+    dn = (((1,), (0,)), ((), ()))
+    vs_lo = jax.lax.dot_general(
+        bv, diff_lo, dn, preferred_element_type=jnp.float32
+    )
+    vs_hi = jax.lax.dot_general(
+        bv, diff_hi, dn, preferred_element_type=jnp.float32
+    )
+    vsum = vs_lo.astype(jnp.int32) + (vs_hi.astype(jnp.int32) << 16)
+    vsum = jnp.where(col_t < d_lo, inv2, vsum)
+    vsum = jnp.where(col_t == (true_width - 1), vsum & jnp.int32(0xFFFF), vsum)
+    if true_width < wp:
+        vsum = jnp.where(col_t < true_width, vsum, 0)
+    hp = jnp.pad(vsum, ((0, 0), (r + 1, r + k + 1)))
+    hp = jnp.where(padfix, jnp.int32(inv) << 16, hp)
+    sad2 = _sliding_sum(hp, k, axis=1)
+    sad_lo = sad2[:, 1 : wp + 1] & jnp.int32(0xFFFF)
+    sad_hi = jax.lax.shift_right_logical(sad2[:, 0:wp], 16)
+    return sad_lo, sad_hi
+
+
 def _packed_pair_body(
     lf, lf_m1, col_t, padfix, shifted, d_lo, *,
     radius, tile_h, wp, true_width, invalid_cost,
@@ -264,20 +329,21 @@ def _packed_unroll(num_disparities: int) -> int:
 
 def _packed_wta_loop(
     lbuf, rbuf, *, num_disparities, radius, tile_h, wp, true_width,
-    invalid_cost,
+    invalid_cost, mxu=False,
 ):
     """Shared packed-pair disparity loop → (tile_h, wp) int32 disparity."""
     lf, lf_m1, rf, col_t, padfix = _packed_pair_prelude(
         lbuf, rbuf, radius=radius, tile_h=tile_h, wp=wp
     )
     unroll = _packed_unroll(num_disparities)
+    pair_body = _packed_pair_body_mxu if mxu else _packed_pair_body
 
     def body(j, carry):
         shifted, best_lo, best_hi = carry
         d0 = 2 * unroll * j
         for k in range(unroll):
             sh = shifted if k == 0 else pltpu.roll(shifted, 2 * k, 1)
-            sad_lo, sad_hi = _packed_pair_body(
+            sad_lo, sad_hi = pair_body(
                 lf, lf_m1, col_t, padfix, sh, d0 + 2 * k,
                 radius=radius, tile_h=tile_h, wp=wp,
                 true_width=true_width, invalid_cost=invalid_cost,
@@ -300,7 +366,7 @@ def _packed_wta_loop(
 
 def _packed_kernel(
     left_hbm, right_hbm, disp_out, lbuf, rbuf, sems, *,
-    num_disparities, radius, tile_h, true_width, invalid_cost,
+    num_disparities, radius, tile_h, true_width, invalid_cost, mxu=False,
 ):
     """Packed-pair (two disparities per int32 lane) fused SAD+WTA kernel."""
     i = pl.program_id(0)
@@ -320,13 +386,14 @@ def _packed_kernel(
     disp_out[:, :] = _packed_wta_loop(
         lbuf, rbuf,
         num_disparities=num_disparities, radius=radius, tile_h=tile_h,
-        wp=wp, true_width=true_width, invalid_cost=invalid_cost,
+        wp=wp, true_width=true_width, invalid_cost=invalid_cost, mxu=mxu,
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_disparities", "radius", "tile_h", "interpret"),
+    static_argnames=("num_disparities", "radius", "tile_h", "interpret",
+                     "mxu"),
 )
 def fused_block_matching(
     left_gray: jnp.ndarray,
@@ -335,15 +402,20 @@ def fused_block_matching(
     radius: int = 5,
     tile_h: int = 32,
     interpret: bool = False,
+    mxu: bool = False,
 ) -> jnp.ndarray:
     """Fused disparity of a (H, W) uint8 pair → (H, W) int32.
 
     Bit-exact with the unfused XLA ops path; ``interpret=True`` runs the
-    Pallas interpreter (the CPU-test / "sanitizer" mode).
+    Pallas interpreter (the CPU-test / "sanitizer" mode). ``mxu=True``
+    (packed-pair configs only) runs the banded-matmul vertical-sum
+    experiment (:func:`_packed_pair_body_mxu`).
     """
     from gpu_stereo_matching_tpu.core.validation import check_gray_pair
 
     check_gray_pair(left_gray, right_gray, num_disparities, "fused_block_matching")
+    if mxu and not _packed_pair_supported(num_disparities, radius):
+        raise ValueError("mxu variant requires a packed-pair config")
     h, w = left_gray.shape
     r = radius
     num_tiles = -(-h // tile_h)
@@ -360,14 +432,18 @@ def fused_block_matching(
     right_p = jnp.zeros((total_rows, wp), jnp.uint8)
     right_p = jax.lax.dynamic_update_slice(right_p, right_gray, (r, 0))
 
-    kernel = functools.partial(
-        _packed_kernel if _packed_pair_supported(num_disparities, r) else _kernel,
-        num_disparities=num_disparities,
-        radius=r,
-        tile_h=tile_h,
-        true_width=w,
-        invalid_cost=255,
-    )
+    if _packed_pair_supported(num_disparities, r):
+        kernel = functools.partial(
+            _packed_kernel,
+            num_disparities=num_disparities, radius=r, tile_h=tile_h,
+            true_width=w, invalid_cost=255, mxu=mxu,
+        )
+    else:
+        kernel = functools.partial(
+            _kernel,
+            num_disparities=num_disparities, radius=r, tile_h=tile_h,
+            true_width=w, invalid_cost=255,
+        )
     disp = pl.pallas_call(
         kernel,
         grid=(num_tiles,),

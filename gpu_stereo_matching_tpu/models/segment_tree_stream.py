@@ -258,12 +258,20 @@ class SegmentTreeST2BatchPipeline:
         config: SegmentTreeConfig = SegmentTreeConfig(),
         group_size: int = 8,
         workers: int = 4,
+        lean: bool = True,
     ) -> None:
+        """``lean`` picks the plan transport format: True (default) ships
+        the round-5 minimal payload (~1.17 MB/plan at Middlebury size)
+        and pays ~0.8 ms/frame/filter for in-graph perm inversion — right
+        whenever plans cross a link; False ships inv_perm verbatim for
+        device-resident deployments (3 filters/frame → ~2.4 ms/frame
+        faster device rate)."""
         if group_size < 1:
             raise ValueError("group_size must be >= 1")
         self.config = config
         self.group_size = group_size
         self.workers = workers
+        self.lean = lean
 
     def _converge(self, pool, build_fns):
         """pool-map plan builders to one shared layout (registry-monotone)."""
@@ -286,7 +294,8 @@ class SegmentTreeST2BatchPipeline:
             pool,
             [
                 (lambda im=im: StridePlan.from_tree(
-                    _sigma1_tree(im, cfg), cfg.sigma_one, device=False
+                    _sigma1_tree(im, cfg), cfg.sigma_one, device=False,
+                    lean=self.lean,
                 ))
                 for im in imgs
             ],
@@ -300,7 +309,7 @@ class SegmentTreeST2BatchPipeline:
             [
                 (lambda i=i: StridePlan.from_tree(
                     _final_tree(lefts[i], disp_l_b[i], mask_b[i], cfg),
-                    cfg.sigma, device=False,
+                    cfg.sigma, device=False, lean=self.lean,
                 ))
                 for i in range(len(lefts))
             ],

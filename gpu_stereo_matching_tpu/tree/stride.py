@@ -702,6 +702,38 @@ def _invert_perm(perm: jnp.ndarray, n: int) -> jnp.ndarray:
     return jnp.argsort(perm)[:n].astype(jnp.int32)
 
 
+# Round-5 finding (tools/exp_gather_payload.py, v5e): XLA's f32 row
+# gather costs ~10 ns/row REGARDLESS of row width (32/64/128 f32 all
+# measure the same — per-row, not per-byte), and on a standalone
+# materialized table a 16-bit-element gather is ~5.5x cheaper
+# (1.8 ns/row). BUT embedded in the filter graph the u16-view gather is
+# ~2.3x SLOWER (tools/exp_hd_ab.py: 103 → 236 ms/frame at HD) — the
+# bitcast/reshape fuses into the gather and changes its lowering. Modes:
+# "0" plain f32 gathers (default), "1" u16 view, "barrier" u16 view
+# behind an optimization_barrier (forces the view to materialize, the
+# condition the microbenchmark measured). Kept as an env knob + tools
+# for future re-evaluation; all modes are bit-exact.
+_FAST_GATHER = os.environ.get("GSM_SB_FASTGATHER", "0")
+
+
+def _row_gather(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """``table[idx]`` for (R, D) f32 rows (see _FAST_GATHER modes)."""
+    if (
+        _FAST_GATHER not in ("1", "barrier")
+        or table.dtype != jnp.float32
+        or table.ndim != 2
+    ):
+        return table[idx]
+    n, d = table.shape
+    view = jax.lax.bitcast_convert_type(table, jnp.uint16).reshape(n, 2 * d)
+    if _FAST_GATHER == "barrier":
+        view = jax.lax.optimization_barrier(view)
+    g = view[idx]
+    return jax.lax.bitcast_convert_type(
+        g.reshape(g.shape[0], d, 2), jnp.float32
+    )
+
+
 def _scan_affine(a, b, steps: int, reverse: bool):
     """Per-bucket Hillis–Steele affine scan along axis 0 of (S, P, D).
 
@@ -766,7 +798,7 @@ def tree_filter_nodes_sb(
     if inv_perm is None:
         inv_perm = _invert_perm(perm, plan.num_nodes)
     cost_ext = jnp.concatenate([cost_nodes, jnp.zeros((1, d), dt)], axis=0)
-    cost_plan = cost_ext[perm]
+    cost_plan = _row_gather(cost_ext, perm)
 
     live = list(range(min(plan.n_real if plan.n_real >= 0 else len(
         plan.buckets), len(plan.buckets))))
@@ -792,7 +824,7 @@ def tree_filter_nodes_sb(
             raw_ext = jnp.concatenate(
                 [ws_heads[nxt], jnp.zeros((1, d), dt)], axis=0
             )
-            h1 = raw_ext[head_perm]  # sorted by (parent pos, rank)
+            h1 = _row_gather(raw_ext, head_perm)  # by (parent pos, rank)
             z1 = jnp.zeros((1, d), dt)
             # Sibling prefix sums via shifted adds; the pad keeps every
             # shift exactly H rows (h1[k:] alone under-fills when H < k).
@@ -803,7 +835,7 @@ def tree_filter_nodes_sb(
             cnt_t = jax.lax.slice_in_dim(cnt, off_t, off_t + l_t, axis=0)
             base = jnp.cumsum(cnt_t) - cnt_t
             idx = jnp.where(cnt_t > 0, base + h_nx * (cnt_t - 1), 3 * h_nx)
-            b_t = b_t + stacked[idx]
+            b_t = b_t + _row_gather(stacked, idx)
 
         blocks, heads_t = [], []
         bo = 0
@@ -833,7 +865,10 @@ def tree_filter_nodes_sb(
     for t in live:
         off_t = round_off[t]
         parent_pos, _hperm = head_streams[t]
-        fp = f_buf[parent_pos] if parent_pos is not None else None
+        fp = (
+            _row_gather(f_buf, parent_pos)
+            if parent_pos is not None else None
+        )
         f_parts = []
         bo = 0
         h_acc = 0
@@ -861,7 +896,7 @@ def tree_filter_nodes_sb(
                 f_buf, jnp.concatenate(f_parts, axis=0), (off_t, 0)
             )
 
-    return f_buf[inv_perm]
+    return _row_gather(f_buf, inv_perm)
 
 
 def stack_stride_plans(plans) -> StridePlan:

@@ -41,3 +41,24 @@ def test_nonocc_mask_math():
     mask = nonocc_mask(gt_l, gt_r)
     assert bool(mask[0, 4]) is True
     assert bool(mask[0, 5]) is False
+
+
+def test_scaling_prediction_model():
+    """Round-5 comm-volume arithmetic: prescribed config-5 strategies meet
+    the >=85% bar; the disp-axis WTA all-reduce is correctly flagged as
+    comm-bound at full 1080p (the reason it is a memory lever only)."""
+    from gpu_stereo_matching_tpu.bench.scaling import (
+        predict_scaling_efficiency,
+    )
+
+    rows = predict_scaling_efficiency()
+    by = {r["strategy"]: r for r in rows}
+    for name, r in by.items():
+        assert 0.0 < r["predicted_efficiency"] <= 1.0
+        if "not prescribed" not in name:
+            assert r["meets_85pct"], name
+    # Halo bytes: 2 images x 2 directions x 5 rows x 1920 u8.
+    assert by["space_bm"]["comm_bytes_per_frame"] == 2 * 2 * 5 * 1920
+    # The full-H disp all-reduce must be honestly comm-bound.
+    disp = next(r for r in rows if r["strategy"].startswith("disp_wta"))
+    assert not disp["meets_85pct"]

@@ -28,6 +28,31 @@ def test_fused_block_matching_interpret(rng):
     np.testing.assert_array_equal(got, want)
 
 
+def test_fused_mxu_variant_bitwise(rng):
+    """Round-5 banded-MXU vertical-sum variant is bit-identical to the
+    VPU packed-pair kernel (bf16 diffs <=255 and f32 accumulation are
+    exact; gated here in interpret mode, on hardware by
+    tools/exp_mxu_sad.py's checksum)."""
+    for hw, d, r, th in [((21, 33), 8, 2, 8), ((40, 150), 16, 3, 16),
+                         ((37, 160), 64, 5, 16)]:
+        left = rng.integers(0, 256, size=hw, dtype=np.uint8)
+        right = rng.integers(0, 256, size=hw, dtype=np.uint8)
+        want = np.asarray(
+            fused_block_matching(
+                jnp.asarray(left), jnp.asarray(right),
+                num_disparities=d, radius=r, tile_h=th, interpret=True,
+            )
+        )
+        got = np.asarray(
+            fused_block_matching(
+                jnp.asarray(left), jnp.asarray(right),
+                num_disparities=d, radius=r, tile_h=th, interpret=True,
+                mxu=True,
+            )
+        )
+        np.testing.assert_array_equal(got, want)
+
+
 def test_fused_block_matching_tile_not_dividing(rng):
     left = rng.integers(0, 256, size=(13, 17), dtype=np.uint8)
     right = rng.integers(0, 256, size=(13, 17), dtype=np.uint8)

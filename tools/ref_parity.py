@@ -15,7 +15,11 @@ disparities" — not of Middlebury GT. This harness closes that loop:
    the reference's ×4 u8 scaling saturates are compared saturated, since
    both sides saturate identically).
 
-Usage: python tools/ref_parity.py [scene ...]   (default: all 6 GT scenes)
+Usage: python tools/ref_parity.py [--max-level N] [scene ...]
+(default: all 6 GT scenes at the CLI-default 60 levels; ``--max-level
+128`` gates the config-3 128-disparity stride path against the reference
+binary at ``maxDispLevel=128`` — a CLI argument of the reference,
+``main.cpp:49-67``).
 Writes a JSON summary line per scene and a final aggregate.
 """
 
@@ -76,11 +80,13 @@ def run_reference(exe, left_png, right_png, method: int, workdir: str,
     return np.array(Image.open(op))
 
 
-def main(scenes=None):
+def main(scenes=None, max_level: int = 60):
     import jax
 
     if os.environ.get("GSM_PARITY_CPU", "1") == "1":
         jax.config.update("jax_platforms", "cpu")
+
+    import dataclasses
 
     from gpu_stereo_matching_tpu.core.config import SegmentTreeConfig
     from gpu_stereo_matching_tpu.io.middlebury import load_middlebury_scene
@@ -94,6 +100,8 @@ def main(scenes=None):
     assert (cfg.max_disp_levels, cfg.disparity_scale, cfg.sigma) == (
         60, 4, 0.1,
     ), "defaults drifted from the reference CLI defaults (main.cpp:49-67)"
+    if max_level != 60:
+        cfg = dataclasses.replace(cfg, max_disp_levels=max_level)
 
     build_dir = os.path.join(tempfile.gettempdir(), "gsm_refbuild")
     os.makedirs(build_dir, exist_ok=True)
@@ -105,9 +113,11 @@ def main(scenes=None):
         sc = load_middlebury_scene(root, name)
         lp = os.path.join(root, name, "view1.png")
         rp = os.path.join(root, name, "view5.png")
-        row = {}
+        row = {"max_level": max_level}
         for method, ours_fn in ((0, st1_disparity), (1, st2_disparity)):
-            ref = run_reference(exe, lp, rp, method, build_dir)
+            ref = run_reference(
+                exe, lp, rp, method, build_dir, max_level=max_level
+            )
             ours = ours_fn(sc.left_bgr, sc.right_bgr, cfg)
             # Unscale (both sides used the same saturating x4).
             ref_d = ref.astype(np.float64) / cfg.disparity_scale
@@ -133,6 +143,7 @@ def main(scenes=None):
     }
     print(json.dumps({
         "metric": "bad2_vs_reference_output_pct_mean",
+        "max_level": max_level,
         **agg,
         "north_star_budget_pct": 2.0,
         "pass": bool(max(agg.values()) <= 2.0),
@@ -141,4 +152,10 @@ def main(scenes=None):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1:] or None)
+    args = sys.argv[1:]
+    level = 60
+    if "--max-level" in args:
+        i = args.index("--max-level")
+        level = int(args[i + 1])
+        del args[i : i + 2]
+    main(args or None, max_level=level)
