@@ -46,6 +46,7 @@ def run_st2_streaming_benchmark(
     from gpu_stereo_matching_tpu.models.segment_tree import (
         _st1_device_group_jit,
         _st2_phase1_group_jit,
+        _unpack_phase1,
     )
     from gpu_stereo_matching_tpu.models.segment_tree_stream import (
         SegmentTreeST2BatchPipeline,
@@ -92,16 +93,15 @@ def run_st2_streaming_benchmark(
         lefts, rights, plans1, _n = dev_pipe._sigma1_group(group, pool)
         jl, jr = jax.device_put(lefts), jax.device_put(rights)
         p1 = plans1.to_device()
-        disp_l_b, mask_b = _st2_phase1_group_jit(
+        packed = _st2_phase1_group_jit(
             jl, jr, p1, cfg.max_disp_levels, cfg.lr_max_diff
         )
-        plans2 = dev_pipe._final_plans(
-            lefts, np.asarray(disp_l_b), np.asarray(mask_b), pool
-        )
+        disp_l_b, mask_b = _unpack_phase1(packed)
+        plans2 = dev_pipe._final_plans(lefts, disp_l_b, mask_b, pool)
         p2 = plans2.to_device()
 
     def dispatch():
-        d, m = _st2_phase1_group_jit(
+        d = _st2_phase1_group_jit(
             jl, jr, p1, cfg.max_disp_levels, cfg.lr_max_diff
         )
         out = _st1_device_group_jit(jl, jr, p2, cfg.max_disp_levels)

@@ -118,8 +118,17 @@ def run_st_hd(
         SegmentTreeBatchPipeline,
     )
 
+    import os as _os
+
     for bands in bands_list:
-        ob = {"shape": out["shape"], "group": group_size, "bands": bands}
+        ob = {
+            "shape": out["shape"], "group": group_size, "bands": bands,
+            # Host numbers are bounded by this container's core count
+            # (2 vCPUs here): per-band work is embarrassingly parallel
+            # C++ (~36 ms/band at bands=8), so a >=8-core production
+            # host lands at ~build_serial/bands per frame.
+            "host_cpus": _os.cpu_count(),
+        }
         pipe = SegmentTreeBatchPipeline(
             cfg, group_size=group_size, workers=workers, bands=bands
         )

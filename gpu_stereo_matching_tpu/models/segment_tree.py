@@ -227,11 +227,16 @@ def _st2_phase1_group(left_b, right_b, plans_lr, num_disp, lr_max_diff):
     (``StereoDisparity.cpp:107-147``). ``plans_lr`` is a 2B-stacked
     :class:`StridePlan` — frame g's LEFT tree at index g, its RIGHT tree
     at index B+g — so the whole group ships one plan upload per σ₁ table.
-    Returns ``(disp_left (B,H,W) u8 median-filtered, mask (B,H,W) bool)``,
-    the two arrays the host needs for the color+depth re-segmentation.
+    Returns ONE (B, H, W) u8 array packing both host inputs of the
+    color+depth re-segmentation: bits 0-6 the median-filtered left
+    disparity (< 128 always — unscaled levels), bit 7 the LR-stability
+    mask — halving the mid-group fetch, which is a hard sync point of
+    the ST-2 pipeline (unpack with :func:`_unpack_phase1`).
     """
+    if num_disp > 128:
+        raise ValueError("phase-1 packing needs num_disp <= 128 (7 bits)")
     b = left_b.shape[0]
-    disp_ls, masks = [], []
+    packed = []
     for g in range(b):
         cost_l = color_gradient_cost_volume(left_b[g], right_b[g], num_disp)
         cost_r = right_cost_from_left(cost_l)
@@ -245,12 +250,19 @@ def _st2_phase1_group(left_b, right_b, plans_lr, num_disp, lr_max_diff):
         mask = lr_consistency_mask(
             disp_l.astype(jnp.int32), disp_r.astype(jnp.int32), lr_max_diff
         )
-        disp_ls.append(disp_l)
-        masks.append(mask)
-    return jnp.stack(disp_ls), jnp.stack(masks)
+        packed.append(
+            disp_l | jnp.where(mask, jnp.uint8(128), jnp.uint8(0))
+        )
+    return jnp.stack(packed)
 
 
 _st2_phase1_group_jit = jax.jit(_st2_phase1_group, static_argnums=(3, 4))
+
+
+def _unpack_phase1(packed: np.ndarray):
+    """Host side: (…, H, W) u8 → (disp_left u8 bits 0-6, mask bool bit 7)."""
+    p = np.asarray(packed)
+    return (p & 0x7F).astype(np.uint8), (p & 0x80) != 0
 
 
 def _sigma1_tree(img_bgr: np.ndarray, config: SegmentTreeConfig):
@@ -356,11 +368,11 @@ def st2_disparity(
     ).to_device()
     jl = jnp.asarray(left_bgr)[None]
     jr = jnp.asarray(right_bgr)[None]
-    disp_l_b, mask_b = _st2_phase1_group_jit(
+    packed = _st2_phase1_group_jit(
         jl, jr, plans1, config.max_disp_levels, config.lr_max_diff
     )
-    disp_l = np.asarray(disp_l_b[0])
-    mask = np.asarray(mask_b[0])
+    disp_l_b, mask_b = _unpack_phase1(packed)
+    disp_l, mask = disp_l_b[0], mask_b[0]
 
     plan2 = converged_stride_batch(
         [_final_tree(left_bgr, disp_l, mask, config)], config.sigma

@@ -33,6 +33,7 @@ from gpu_stereo_matching_tpu.models.segment_tree import (
     _st1_device_group_jit,
     _st1_device_jit,
     _st2_phase1_group_jit,
+    _unpack_phase1,
 )
 from gpu_stereo_matching_tpu.tree.builder import build_segment_tree, color_edge_weights
 from gpu_stereo_matching_tpu.tree.stride import StridePlan, stack_stride_plans
@@ -347,7 +348,7 @@ class SegmentTreeST2BatchPipeline:
             while cur_h1 is not None:
                 lefts, rights, plans1, n_real = cur_h1
                 jl, jr = jnp.asarray(lefts), jnp.asarray(rights)
-                disp_l_b, mask_b = _st2_phase1_group_jit(
+                packed = _st2_phase1_group_jit(
                     jl, jr, plans1.to_device(), cfg.max_disp_levels,
                     cfg.lr_max_diff,
                 )
@@ -358,9 +359,9 @@ class SegmentTreeST2BatchPipeline:
                     self._sigma1_group(nxt, pool) if nxt is not None
                     else None
                 )
-                # Phase-1 fetch (sync point — the host needs these).
-                disp_l_np = np.asarray(disp_l_b)
-                mask_np = np.asarray(mask_b)
+                # Phase-1 fetch (sync point — the host needs these; one
+                # u8 image per frame, disparity + mask bit-packed).
+                disp_l_np, mask_np = _unpack_phase1(packed)
                 plans2 = self._final_plans(lefts, disp_l_np, mask_np, pool)
                 out = _st1_device_group_jit(
                     jl, jr, plans2.to_device(), cfg.max_disp_levels
