@@ -57,7 +57,6 @@ from gpu_stereo_matching_tpu.tree.stride import (
 
 
 _cost_volume_jit = jax.jit(color_gradient_cost_volume, static_argnums=(2,))
-_right_from_left_jit = jax.jit(right_cost_from_left)
 
 
 def _filter_wta_median(cost_nodes, plan, shape_hw):

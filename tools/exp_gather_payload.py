@@ -111,4 +111,10 @@ def main(table_rows: int = 300_000, gather_rows: int = 262_144,
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    # Optional: table_rows gather_rows (e.g. 1500000 1048576 for the HD
+    # sweep — which showed f32 still ~10 ns/row and the bf16 advantage
+    # GONE at large tables; see ROADMAP round-5 notes).
+    args = [int(a) for a in sys.argv[1:3]]
+    main(*args)
